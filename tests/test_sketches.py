@@ -1,0 +1,114 @@
+"""Sketch unit tests: accuracy bounds, mergeability, serialization round-trip,
+order-independence (HLL/Histogram)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from teleharvest_ray.functions.hashing import hash_key, hash_strings, splitmix64
+from teleharvest_ray.functions.sketches import HistogramSketch, HyperLogLog, KLLSketch
+
+
+def test_hash_strings_deterministic_and_distinct():
+    a = hash_strings(["a", "b", "a", None])
+    b = hash_strings(["a", "b", "a", None])
+    assert (a == b).all()
+    assert a[0] == a[2] and a[0] != a[1]
+    assert a[3] != a[0]
+
+
+def test_hash_key_composite():
+    h1 = hash_key(["c1", "c1"], [0, 1])
+    assert h1[0] != h1[1]  # turn_idx participates → hot conv spreads
+    h2 = hash_key(["c1"], [0])
+    assert h1[0] == h2[0]
+
+
+def test_splitmix_bijective_spread():
+    x = splitmix64(np.arange(1000, dtype=np.uint64))
+    assert len(np.unique(x)) == 1000
+
+
+@pytest.mark.parametrize("n", [100, 5000, 200_000])
+def test_hll_accuracy(n):
+    hll = HyperLogLog(p=14)
+    hll.update_ints(np.arange(n))
+    est = hll.estimate()
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.update_ints(np.arange(0, 6000))
+    b.update_ints(np.arange(4000, 10000))
+    u = HyperLogLog.from_bytes(a.to_bytes()).merge(b)
+    est = u.estimate()
+    assert abs(est - 10000) / 10000 < 0.08
+
+
+def test_hll_order_independent():
+    vals = np.arange(10_000)
+    a, b = HyperLogLog(), HyperLogLog()
+    a.update_ints(vals)
+    rng = np.random.default_rng(0)
+    for chunk in np.array_split(rng.permutation(vals), 7):
+        b.update_ints(chunk)
+    assert (a.registers == b.registers).all()
+
+
+def test_hll_strings_roundtrip():
+    h = HyperLogLog(p=12)
+    h.update_strings([f"conv-{i}" for i in range(3000)])
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    assert h2.estimate() == h.estimate()
+    assert abs(h.estimate() - 3000) / 3000 < 0.08
+
+
+def test_histogram_exact_quantiles_and_merge():
+    rng = np.random.default_rng(1)
+    v1, v2 = rng.integers(0, 1000, 5000), rng.integers(0, 1000, 5000)
+    a, b = HistogramSketch(bin_width=8, max_value=2048), HistogramSketch(bin_width=8, max_value=2048)
+    a.update(v1)
+    b.update(v2)
+    a.merge(HistogramSketch.from_bytes(b.to_bytes()))
+    allv = np.concatenate([v1, v2])
+    assert a.total == 10_000
+    assert a.vmin == allv.min() and a.vmax == allv.max()
+    assert abs(a.mean() - allv.mean()) < 1e-9
+    for q in (0.1, 0.5, 0.9):
+        assert abs(a.quantile(q) - np.quantile(allv, q)) <= 8.5
+
+
+def test_histogram_ks():
+    a, b = HistogramSketch(bin_width=4, max_value=512), HistogramSketch(bin_width=4, max_value=512)
+    rng = np.random.default_rng(2)
+    a.update(rng.integers(0, 100, 20000))
+    b.update(rng.integers(0, 100, 20000))
+    assert a.ks_distance(b) < 0.03  # same distribution
+    c = HistogramSketch(bin_width=4, max_value=512)
+    c.update(rng.integers(50, 150, 20000))  # shifted
+    assert a.ks_distance(c) > 0.3
+
+
+def test_kll_quantiles():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 15, 100_000)
+    s = KLLSketch(k=200)
+    for chunk in np.array_split(vals, 50):
+        s.update(chunk)
+    for q in (0.1, 0.5, 0.99):
+        exact = np.quantile(vals, q)
+        assert abs(s.quantile(q) - exact) < 2.5, (q, s.quantile(q), exact)
+
+
+def test_kll_merge_and_roundtrip():
+    rng = np.random.default_rng(4)
+    v1, v2 = rng.exponential(10, 50_000), rng.exponential(10, 50_000)
+    a, b = KLLSketch(), KLLSketch()
+    a.update(v1)
+    b.update(v2)
+    a = KLLSketch.from_bytes(a.to_bytes()).merge(b)
+    allv = np.concatenate([v1, v2])
+    assert a.n == 100_000
+    assert abs(a.quantile(0.5) - np.quantile(allv, 0.5)) < 1.0
