@@ -1,0 +1,212 @@
+"""The end-to-end resumable validation pipeline.
+
+Orchestrates the three reference entry points (``main.py:25-29``) recast for
+Ray Data:
+
+- **Phase 1 — per-partition validation** (EP1 ``fetch_and_process`` analog,
+  ``processor.py:55-79``): an actor-pool ``map_batches`` over the partition
+  (file) list. Each actor holds the broadcast ReferenceProfile (the
+  published-set/side-input analog, ``processor.py:58``) loaded ONCE in
+  ``__init__``; per partition it runs the vectorized short-circuit chain,
+  column stats, and the drift check, writes the partition's violation +
+  annotated outputs atomically, and returns a lineage/metrics record. The
+  driver streams these records into the checkpoint store as they complete —
+  a killed run resumes by replaying only partitions without a record.
+- **Phase 2 — key-space checks** (the PK/watermark discipline,
+  ``models/message.py:34-36,75-89``): one salted hash-shuffle over pruned
+  columns for dup/seq/orphan violations; recorded under the ``_global``
+  checkpoint key, recomputed only when the validated partition set changed.
+
+Partition = input file: at 100 TB the input is O(100k) files of 0.25–1 GB, so
+file granularity gives both enough parallelism for a 256-node cluster and
+bounded per-task memory. Reading a file whole inside the actor (rather than
+letting read_parquet split it into fragments) is deliberate: the per-row
+chain's last-turn exemption and the per-partition metrics record need
+file-local scope (the reference's per-fetched-batch semantics,
+``processor.py:76-77``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..config import ValidationConfig
+from ..schema import GLOBAL_CHECKS
+from ..stages.keyspace import keyspace_checks
+from ..stages.row_checks import chain_violations, evaluate_chain
+from ..stages.stats import (
+    drift_check,
+    merge_stats,
+    partition_stats,
+    stats_from_bytes,
+    stats_summary,
+    stats_to_bytes,
+)
+from ..state.checkpoint import CheckpointStore, atomic_write_parquet
+from ..state.profile import ReferenceProfile, build_profile
+
+
+class PartitionValidator:
+    """Stateful validator actor: profile deserialized once per actor
+    (the A3/A4 load-once pattern — reference embedding model + published
+    snapshot, ``services/embedding_service.py:15-16``, ``processor.py:58``)."""
+
+    def __init__(self, cfg: ValidationConfig, profile_ref, out_dir: str, write_annotated: bool):
+        self.cfg = cfg
+        self.profile: ReferenceProfile = ray.get(profile_ref)
+        self.out_dir = out_dir
+        self.write_annotated = write_annotated
+
+    def __call__(self, batch) -> pa.Table:
+        records = []
+        for path, pid in zip(batch["path"], batch["pid"]):
+            records.append(self._one(str(path), str(pid)))
+        return pa.Table.from_pylist(records)
+
+    def _one(self, path: str, pid: str) -> dict:
+        t0 = time.perf_counter()
+        tbl = pq.read_table(path)
+        ann = evaluate_chain(tbl, self.cfg, self.profile.exemplars)
+        vio = chain_violations(ann)
+        stats = partition_stats(tbl, self.cfg)
+        findings = drift_check(stats, self.profile, self.cfg)
+        if findings:
+            vio = pa.concat_tables(
+                [
+                    vio,
+                    pa.table(
+                        {
+                            "conv_id": pa.array([f"partition:{pid}"], pa.string()),
+                            "turn_idx": pa.array([-1], pa.int32()),
+                            "check_id": pa.array(["drift"], pa.string()),
+                            "detail": pa.array([";".join(findings)], pa.string()),
+                        }
+                    ),
+                ]
+            )
+        atomic_write_parquet(vio, os.path.join(self.out_dir, "violations", f"{pid}.parquet"))
+        if self.write_annotated:
+            atomic_write_parquet(ann, os.path.join(self.out_dir, "annotated", f"{pid}.parquet"))
+        return {
+            "partition_id": pid,
+            "rows_scanned": tbl.num_rows,
+            "violations": vio.num_rows,
+            "pass": vio.num_rows == 0,
+            "sketch_state": stats_to_bytes(stats),
+            "input_file": path,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+
+
+def run_validation(
+    data_dir: str,
+    out_dir: str,
+    cfg: ValidationConfig | None = None,
+    resume: bool = True,
+    concurrency: int | None = None,
+    write_annotated: bool = True,
+) -> dict:
+    """Validate every ``part-*.parquet`` under ``data_dir``; resumable."""
+    cfg = cfg or ValidationConfig()
+    files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet under {data_dir}")
+    pids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    store = CheckpointStore(os.path.join(out_dir, "checkpoints"))
+    done = (
+        {pid: rec for pid, rec in store.completed().items() if not pid.startswith("_")}
+        if resume
+        else {}
+    )
+    if not resume:
+        store.clear()
+        done = {}
+
+    # Reference profile: the designated reference partition is the first file
+    # (deterministic; configurable by convention). Only the three needed
+    # columns leave disk.
+    ref_tbl = pq.read_table(files[0], columns=["text", "role", "tool"])
+    profile = build_profile(ref_tbl, cfg)
+    profile_ref = ray.put(profile)
+
+    todo = [(f, p) for f, p in zip(files, pids) if p not in done]
+    n_resumed = len(files) - len(todo)
+    new_records = []
+    if todo:
+        avail = int(ray.available_resources().get("CPU", 4))
+        conc = concurrency or max(1, min(len(todo), avail))
+        ds = rd.from_items([{"path": f, "pid": p} for f, p in todo])
+        result = ds.map_batches(
+            PartitionValidator,
+            fn_constructor_args=(cfg, profile_ref, out_dir, write_annotated),
+            batch_size=1,
+            concurrency=conc,
+            batch_format="pandas",
+        )
+        # stream records into the checkpoint store as partitions finish
+        for batch in result.iter_batches(batch_size=1, batch_format="pyarrow"):
+            for rec in batch.to_pylist():
+                store.write(rec["partition_id"], rec)
+                new_records.append(rec)
+
+    all_records = {**done, **{r["partition_id"]: r for r in new_records}}
+
+    # merged global column stats (sketch union — associative)
+    merged = None
+    for pid in pids:
+        rec = all_records[pid]
+        s = stats_from_bytes(rec["sketch_state"])
+        merged = s if merged is None else merge_stats(merged, s)
+
+    # Phase 2: key-space checks over the full dataset (pruned columns)
+    gkey = "_global"
+    grec = store.read(gkey) if resume else None
+    if grec is None or grec.get("n_partitions") != len(files):
+        turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+        conv_index_path = os.path.join(data_dir, "conversations.parquet")
+        known = (
+            pq.read_table(conv_index_path)["conv_id"].to_pylist()
+            if os.path.exists(conv_index_path)
+            else []
+        )
+        gvio = keyspace_checks(turns, known, cfg)
+        atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))
+        store.write(gkey, {"partition_id": gkey, "n_partitions": len(files), "violations": gvio.num_rows})
+        g_violations = gvio.num_rows
+    else:
+        g_violations = grec["violations"]
+
+    per_part_violations = int(sum(r["violations"] for r in all_records.values() if r["partition_id"] != gkey))
+    summary = {
+        "n_partitions": len(files),
+        "n_resumed": n_resumed,
+        "n_validated_now": len(todo),
+        "rows_scanned": int(sum(r["rows_scanned"] for r in all_records.values())),
+        "violations_partition_local": per_part_violations,
+        "violations_global": int(g_violations),
+        "partitions_failed": [p for p in pids if not all_records[p]["pass"]],
+        "column_stats": stats_summary(merged) if merged else None,
+        "out_dir": out_dir,
+    }
+    return summary
+
+
+def read_violations(out_dir: str):
+    """All violation rows of a completed run as one pandas DataFrame."""
+    import pandas as pd
+
+    frames = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "violations", "*.parquet"))):
+        frames.append(pq.read_table(f).to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=["conv_id", "turn_idx", "check_id", "detail"])
+    return pd.concat(frames, ignore_index=True)

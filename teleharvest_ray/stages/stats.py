@@ -1,0 +1,173 @@
+"""Per-partition column statistics with mergeable sketches, plus drift checks.
+
+G6/G7 of the operator inventory (SURVEY.md §2.5): null rate, min/max, length
+histograms, approx-distinct (HyperLogLog) and token-length quantile sketches,
+computed per partition inside the partition validator and merged across
+partitions by sketch union (associative ⇒ any reduce tree works). The drift
+check (north_rule; analog of the published-set similarity gate,
+processor.py:138-143) compares a partition's role/tool frequencies
+(chi-square), text-length ECDF (KS) and token-count quantiles (relative
+delta) against the broadcast :class:`ReferenceProfile`.
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ValidationConfig
+from ..functions.sketches import HistogramSketch, HyperLogLog
+from ..functions.textfuncs import token_count
+from ..state.profile import ReferenceProfile
+
+
+def partition_stats(tbl: pa.Table, cfg: ValidationConfig) -> dict:
+    """Column stats for one partition; all members are mergeable."""
+    out: dict = {"n_rows": tbl.num_rows, "null_counts": {}, "numeric": {}}
+    for name in tbl.column_names:
+        if name.startswith("_"):
+            continue
+        col = tbl[name]
+        out["null_counts"][name] = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
+    # approx-distinct conversations (HLL)
+    hll = HyperLogLog(p=cfg.hll_p)
+    conv = tbl["conv_id"].to_pandas()
+    hll.update_strings(conv[conv.notna()].to_numpy(dtype=object))
+    out["conv_hll"] = hll
+    # text length histogram (exact, mergeable; powers the KS drift statistic)
+    len_hist = HistogramSketch(cfg.len_hist_bin, cfg.len_hist_max)
+    lens = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+    len_hist.update(lens[~np.isnan(lens)])
+    out["len_hist"] = len_hist
+    # token-count histogram (embedding-proxy quantile sketch)
+    token_hist = HistogramSketch(1, 1024)
+    toks = token_count(tbl["text"]).astype(np.float64)
+    token_hist.update(toks[~np.isnan(toks)])
+    out["token_hist"] = token_hist
+    # categorical frequencies
+    out["role_freq"] = _freq(tbl, "role")
+    out["tool_freq"] = _freq(tbl, "tool")
+    # numeric/timestamp min-max
+    for name in ("turn_idx", "views", "reactions", "forwards"):
+        if name in tbl.column_names:
+            mm = pc.min_max(tbl[name]).as_py()
+            out["numeric"][name] = {"min": mm["min"], "max": mm["max"]}
+    if "ts" in tbl.column_names:
+        mm = pc.min_max(tbl["ts"]).as_py()
+        out["numeric"]["ts"] = {"min": str(mm["min"]), "max": str(mm["max"])}
+    return out
+
+
+def _freq(tbl: pa.Table, name: str) -> dict:
+    s = pd.Series(tbl[name].to_pandas())
+    vc = s.value_counts(dropna=False)
+    return {("<null>" if pd.isna(k) else str(k)): int(v) for k, v in vc.items()}
+
+
+def merge_stats(a: dict, b: dict) -> dict:
+    """Associative merge of two partition-stat dicts."""
+    out = {
+        "n_rows": a["n_rows"] + b["n_rows"],
+        "null_counts": {
+            k: a["null_counts"].get(k, 0) + b["null_counts"].get(k, 0)
+            for k in set(a["null_counts"]) | set(b["null_counts"])
+        },
+        "conv_hll": a["conv_hll"].merge(b["conv_hll"]),
+        "len_hist": a["len_hist"].merge(b["len_hist"]),
+        "token_hist": a["token_hist"].merge(b["token_hist"]),
+        "role_freq": _merge_freq(a["role_freq"], b["role_freq"]),
+        "tool_freq": _merge_freq(a["tool_freq"], b["tool_freq"]),
+        "numeric": {},
+    }
+    for k in set(a["numeric"]) | set(b["numeric"]):
+        av, bv = a["numeric"].get(k), b["numeric"].get(k)
+        if av is None or bv is None:
+            out["numeric"][k] = av or bv
+        else:
+            mn = min(x for x in (av["min"], bv["min"]) if x is not None) if (av["min"] is not None or bv["min"] is not None) else None
+            mx = max(x for x in (av["max"], bv["max"]) if x is not None) if (av["max"] is not None or bv["max"] is not None) else None
+            out["numeric"][k] = {"min": mn, "max": mx}
+    return out
+
+
+def _merge_freq(a: dict, b: dict) -> dict:
+    return {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+
+
+def stats_to_bytes(stats: dict) -> bytes:
+    return zlib.compress(pickle.dumps(stats, protocol=4), 3)
+
+
+def stats_from_bytes(b: bytes) -> dict:
+    return pickle.loads(zlib.decompress(b))
+
+
+def stats_summary(stats: dict) -> dict:
+    """JSON-safe summary of merged stats (for reports / checkpoint records)."""
+    return {
+        "n_rows": stats["n_rows"],
+        "null_counts": stats["null_counts"],
+        "approx_distinct_convs": round(stats["conv_hll"].estimate(), 1),
+        "text_len": {
+            "mean": None if stats["len_hist"].total == 0 else round(stats["len_hist"].mean(), 2),
+            "p50": stats["len_hist"].quantile(0.5),
+            "p95": stats["len_hist"].quantile(0.95),
+            "min": stats["len_hist"].vmin,
+            "max": stats["len_hist"].vmax,
+        },
+        "token_count": {
+            "p50": stats["token_hist"].quantile(0.5),
+            "p95": stats["token_hist"].quantile(0.95),
+        },
+        "role_freq": stats["role_freq"],
+        "tool_freq": stats["tool_freq"],
+        "numeric": stats["numeric"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# drift
+# ---------------------------------------------------------------------------
+
+
+def chi_square_frac(obs: dict, exp: dict) -> float:
+    """Chi-square statistic over FREQUENCY FRACTIONS (size-independent):
+    sum((o_i - e_i)^2 / e_i) over the union of categories, with a small
+    epsilon on expected fractions for unseen categories."""
+    keys = set(obs) | set(exp)
+    n_o = sum(obs.values()) or 1
+    n_e = sum(exp.values()) or 1
+    stat = 0.0
+    for k in keys:
+        o = obs.get(k, 0) / n_o
+        e = max(exp.get(k, 0) / n_e, 1e-6)
+        stat += (o - e) ** 2 / e
+    return stat
+
+
+def drift_check(stats: dict, profile: ReferenceProfile, cfg: ValidationConfig) -> list[str]:
+    """Returns a list of human-readable drift findings (empty = no drift)."""
+    findings = []
+    chi_role = chi_square_frac(stats["role_freq"], profile.role_freq)
+    if chi_role > cfg.drift_chi2_threshold:
+        findings.append(f"role_chi2={chi_role:.3f}>{cfg.drift_chi2_threshold}")
+    chi_tool = chi_square_frac(stats["tool_freq"], profile.tool_freq)
+    if chi_tool > cfg.drift_chi2_threshold:
+        findings.append(f"tool_chi2={chi_tool:.3f}>{cfg.drift_chi2_threshold}")
+    ks = stats["len_hist"].ks_distance(profile.len_hist)
+    if ks > cfg.drift_ks_threshold:
+        findings.append(f"text_len_ks={ks:.3f}>{cfg.drift_ks_threshold}")
+    # token-length quantile drift (embedding-proxy quantile sketch delta)
+    for q in (0.5, 0.95):
+        pq_ = profile.token_hist.quantile(q)
+        sq = stats["token_hist"].quantile(q)
+        if pq_ and not np.isnan(pq_) and pq_ > 0 and not np.isnan(sq):
+            rel = abs(sq - pq_) / pq_
+            if rel > cfg.drift_quantile_rel_threshold:
+                findings.append(f"token_q{int(q*100)}_rel_delta={rel:.3f}>{cfg.drift_quantile_rel_threshold}")
+    return findings

@@ -1,0 +1,40 @@
+"""Key-space checks (dup/seq/orphan) against the planted manifest."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from teleharvest_ray.config import ValidationConfig
+from teleharvest_ray.sources.datagen import GenSpec, generate
+from teleharvest_ray.stages.keyspace import keyspace_checks
+
+KS_IDS = {"dup_key", "seq_gap", "orphan_conv"}
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ks_data")
+    generate(str(d), GenSpec(n_convs=150, n_files=6, seed=23, hot_conv=True))
+    return str(d)
+
+
+def test_keyspace_matches_manifest(ray_session, dataset):
+    import glob
+
+    files = sorted(glob.glob(dataset + "/part-*.parquet"))
+    turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+    idx = pq.read_table(dataset + "/conversations.parquet")["conv_id"].to_pylist()
+    vio = keyspace_checks(turns, idx, ValidationConfig(salt_buckets=16)).to_pandas()
+
+    exp = pq.read_table(dataset + "/expected_violations.parquet").to_pandas()
+    exp = exp[exp.check_id.isin(KS_IDS)]
+    got_set = set(map(tuple, vio[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False)))
+    exp_set = set(map(tuple, exp.itertuples(index=False)))
+    assert exp_set - got_set == set(), f"missed: {sorted(exp_set - got_set)[:5]}"
+    assert got_set - exp_set == set(), f"spurious: {sorted(got_set - exp_set)[:5]}"
+    # dup detail carries the multiplicity
+    dups = vio[vio.check_id == "dup_key"]
+    assert dups.detail.str.startswith("count=").all()

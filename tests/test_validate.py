@@ -1,0 +1,76 @@
+"""End-to-end validation pipeline: full manifest match + checkpoint/resume."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from teleharvest_ray.config import ValidationConfig
+from teleharvest_ray.pipelines.validate import read_violations, run_validation
+from teleharvest_ray.sources.datagen import GenSpec, generate
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e_data")
+    generate(str(d), GenSpec(n_convs=120, n_files=6, seed=5, hot_conv=True))
+    return str(d)
+
+
+def _vio_set(df: pd.DataFrame) -> set:
+    return set(map(tuple, df[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False)))
+
+
+def test_full_run_matches_manifest(ray_session, dataset, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_validation(dataset, out, ValidationConfig(salt_buckets=8))
+    exp = pq.read_table(dataset + "/expected_violations.parquet").to_pandas()
+    got = read_violations(out)
+    missing = _vio_set(exp) - _vio_set(got)
+    spurious = _vio_set(got) - _vio_set(exp)
+    assert not missing, f"missed {len(missing)}: {sorted(missing)[:6]}"
+    assert not spurious, f"spurious {len(spurious)}: {sorted(spurious)[:6]}"
+    # summary sanity
+    assert summary["n_partitions"] == 6
+    assert summary["rows_scanned"] > 2000
+    cs = summary["column_stats"]
+    assert cs["n_rows"] == summary["rows_scanned"]
+    # HLL approx-distinct of conversations within 5%
+    true_convs = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(__import__("glob").glob(dataset + "/part-*.parquet"))]
+    )["conv_id"].nunique()
+    assert abs(cs["approx_distinct_convs"] - true_convs) / true_convs < 0.05
+    # drift partition flagged, and only it
+    assert [p for p in summary["partitions_failed"] if p == "part-00005"]
+    drift_rows = got[got.check_id == "drift"]
+    assert set(drift_rows.conv_id) == {"partition:part-00005"}
+
+
+def test_resume_revalidates_only_missing(ray_session, dataset, tmp_path):
+    out = str(tmp_path / "out_resume")
+    s1 = run_validation(dataset, out, ValidationConfig(salt_buckets=8))
+    v1 = read_violations(out)
+    # simulate a kill after 3 of 6 partitions: drop 3 checkpoint records and
+    # their outputs
+    killed = ["part-00001", "part-00003", "part-00004"]
+    for pid in killed:
+        os.unlink(os.path.join(out, "checkpoints", f"{pid}.json"))
+        os.unlink(os.path.join(out, "violations", f"{pid}.parquet"))
+        os.unlink(os.path.join(out, "annotated", f"{pid}.parquet"))
+    s2 = run_validation(dataset, out, ValidationConfig(salt_buckets=8))
+    assert s2["n_validated_now"] == 3
+    assert s2["n_resumed"] == 3
+    v2 = read_violations(out)
+    assert _vio_set(v1) == _vio_set(v2)
+    assert s1["rows_scanned"] == s2["rows_scanned"]
+    assert s1["column_stats"]["approx_distinct_convs"] == s2["column_stats"]["approx_distinct_convs"]
+
+
+def test_fresh_rerun_is_deterministic(ray_session, dataset, tmp_path):
+    out1, out2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    run_validation(dataset, out1, ValidationConfig(salt_buckets=8))
+    run_validation(dataset, out2, ValidationConfig(salt_buckets=8))
+    assert _vio_set(read_violations(out1)) == _vio_set(read_violations(out2))
