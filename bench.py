@@ -1,0 +1,121 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline pipeline — the full transcript validation engine — over a
+deterministic synthetic transcript table sized to $GRAFT_SF_DIR's scale, plus
+a representative set of operator pipelines over the sf tables, and prints ONE
+JSON line. ``--scaling`` runs the headline at two parallelism levels in fresh
+processes (the sandbox stand-in for N vs 4N nodes) and reports throughputs +
+scaling efficiency.
+
+Usage:
+  RAY_GRAFT_CPUS=32 GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+  python bench.py --scaling
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from teleharvest_ray.pipelines import queries as q
+
+    # materialize the synthetic transcript input BEFORE timing (cached across
+    # runs) and warm the page cache with one untimed pass over the sf tables
+    data_dir = q.synth_transcripts(sf_dir)
+    n_rows = json.load(open(os.path.join(data_dir, "manifest.json")))["n_rows"]
+    for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    run("validate_transcripts", q.validate_transcripts)
+    run("q_pricing_summary", q.q_pricing_summary)
+    run("q_event_windows", q.q_event_windows)
+    run("q_join_orders_customer", q.q_join_orders_customer)
+    run("q_minhash_pairs", q.q_minhash_pairs)
+    run("q_similarity_topk", q.q_similarity_topk)
+
+    headline = timings["validate_transcripts"]
+    out = {
+        "metric": "full transcript validation (chain+stats+drift+keyspace) wall time",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "transcript_rows": n_rows,
+        "turns_per_sec": round(n_rows / headline, 1),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, same input, fresh processes at 8 and 32 CPUs; efficiency =
+    (T_8/T_32)/(32/8) — ≥0.8 is the north_rule target."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t8,
+                "sec_32": t32,
+                "turns_per_sec_8": results[8]["turns_per_sec"],
+                "turns_per_sec_32": results[32]["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "transcript_rows": results[32]["transcript_rows"],
+                "queries_8": results[8]["queries"],
+                "queries_32": results[32]["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -34,6 +34,89 @@ from .hashing import hash_strings
 TRAILING_LINK_RE = r"(?m)\s*\[.*?\]\(https?://[^)]+\)$"
 BOW_DIM = 64
 
+# byte-class lookup tables (ASCII semantics — matches RE2's ASCII-only \w/\s,
+# which is what both pyarrow and DuckDB use; documented engine semantics for
+# multi-byte text: counts are per byte, and scoring-stage inputs are ASCII)
+_ALNUM_LUT = np.zeros(256, np.uint8)
+for _lo, _hi in ((48, 58), (65, 91), (97, 123)):
+    _ALNUM_LUT[_lo:_hi] = 1
+_SPACE_LUT = np.zeros(256, np.uint8)
+for _b in (9, 10, 11, 12, 13, 32):
+    _SPACE_LUT[_b] = 1
+_NONSPACE_LUT = (1 - _SPACE_LUT).astype(np.uint8)
+
+
+def _string_buffer_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_data, per-string offsets) view of a string array, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offsets.astype(np.int64)
+
+
+def byte_class_counts(arr, lut: np.ndarray) -> np.ndarray:
+    """Per-string count of bytes whose lut entry is 1. Segmented reduction via
+    np.add.reduceat (this numpy build's cumsum is ~50x slower — measured)."""
+    data, offsets = _string_buffer_view(arr)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty(0, np.int64)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if not nonempty.any():
+        return np.zeros(n, np.int64)
+    end = int(offsets[-1])
+    # NB: this box's numpy is pathologically slow at astype/append/np.take
+    # copies of multi-MB arrays (measured ~50x); plain fancy indexing and
+    # reduceat with dtype= are fine, so stick to exactly those.
+    vals = lut[data[:end]]
+    # reduceat start indices must be < len(vals): trailing empty strings have
+    # start == end; cut them off (their counts stay 0) — m is the first such.
+    m = int(np.searchsorted(starts, end, side="left"))
+    out = np.zeros(n, np.int64)
+    if m:
+        out[:m] = np.add.reduceat(vals, starts[:m], dtype=np.int64)
+    out[~nonempty] = 0
+    return out
+
+
+class TokenBatch:
+    """One tokenization pass shared by every token-derived feature: rows is
+    the source row of each token, codes factorize tokens batch-locally, and
+    uniq_hash gives a process-stable 64-bit hash per unique token (hashing
+    only uniques — the vocabulary — not every token)."""
+
+    __slots__ = ("rows", "codes", "uniq_hash", "n_rows")
+
+    def __init__(self, rows, codes, uniq_hash, n_rows):
+        self.rows, self.codes, self.uniq_hash, self.n_rows = rows, codes, uniq_hash, n_rows
+
+
+def tokenize(arr) -> TokenBatch:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    lst = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(lst)
+    rows = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False).astype(np.int64)
+    # leading/trailing whitespace produces empty tokens — drop them
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        rows = rows[keep]
+    s = flat.to_pandas()
+    codes, uniques = pd.factorize(s, sort=False)
+    uniq_hash = (
+        pd.util.hash_array(np.asarray(uniques, dtype=object), categorize=False).astype(np.uint64)
+        if len(uniques)
+        else np.empty(0, np.uint64)
+    )
+    return TokenBatch(rows, codes.astype(np.int64), uniq_hash, n)
+
 
 def normalize_trailing_links(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """Strip trailing markdown links per line (reference processor.py:106)."""
@@ -45,9 +128,10 @@ def utf8_len(arr) -> pa.Array:
 
 
 def quality_score(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """100 * alnum_chars / non-space_chars; NaN for null, 0 for empty."""
-    alnum = pc.count_substring_regex(arr, pattern=r"[^\W_]").to_numpy(zero_copy_only=False).astype(np.float64)
-    nonspace = pc.count_substring_regex(arr, pattern=r"\S").to_numpy(zero_copy_only=False).astype(np.float64)
+    """100 * alnum_bytes / non-space_bytes; 0 for null/empty. Byte-LUT
+    segmented reduction (exact RE2-ASCII semantics for ASCII text)."""
+    alnum = byte_class_counts(arr, _ALNUM_LUT).astype(np.float64)
+    nonspace = byte_class_counts(arr, _NONSPACE_LUT).astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         out = np.where(nonspace > 0, 100.0 * alnum / np.maximum(nonspace, 1), 0.0)
     return out
@@ -60,27 +144,30 @@ def rewrite_alt(arr) -> pa.Array | pa.ChunkedArray:
     return pc.utf8_trim_whitespace(out)
 
 
-def alt_score(arr) -> np.ndarray:
-    """100 * distinct words / total words, vectorized via explode+groupby."""
-    s = pd.Series(_to_object(arr))
-    words = s.str.split()
-    n = len(s)
-    out = np.zeros(n, dtype=np.float64)
-    nonnull = words.notna()
-    if nonnull.any():
-        ex = words[nonnull].explode().dropna()
-        if len(ex):
-            grp = ex.groupby(level=0)
-            distinct = grp.nunique()
-            total = grp.size()
-            ratio = (distinct / total).reindex(s.index[nonnull]).fillna(0.0)
-            out[nonnull.to_numpy()] = 100.0 * ratio.to_numpy()
+def alt_score(arr_or_tokens) -> np.ndarray:
+    """100 * distinct words / total words (penalizes degenerate repetition).
+    Distinctness per row via one lexsort over (row, code) — no per-row loop."""
+    tok = arr_or_tokens if isinstance(arr_or_tokens, TokenBatch) else tokenize(arr_or_tokens)
+    out = np.zeros(tok.n_rows, dtype=np.float64)
+    if len(tok.rows) == 0:
+        return out
+    order = np.lexsort((tok.codes, tok.rows))
+    r, c = tok.rows[order], tok.codes[order]
+    first = np.ones(len(r), dtype=bool)
+    first[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    distinct = np.bincount(r[first], minlength=tok.n_rows)
+    total = np.bincount(tok.rows, minlength=tok.n_rows)
+    nz = total > 0
+    out[nz] = 100.0 * distinct[nz] / total[nz]
     return out
 
 
-def token_count(arr) -> np.ndarray:
+def token_count(arr_or_tokens) -> np.ndarray:
     """Whitespace-token count (embedding-proxy length feature)."""
-    return pc.count_substring_regex(arr, pattern=r"\S+").to_numpy(zero_copy_only=False)
+    if isinstance(arr_or_tokens, TokenBatch):
+        tok = arr_or_tokens
+        return np.bincount(tok.rows, minlength=tok.n_rows).astype(np.int64)
+    return pc.count_substring_regex(arr_or_tokens, pattern=r"\S+").to_numpy(zero_copy_only=False)
 
 
 def _to_object(arr) -> np.ndarray:
@@ -92,20 +179,21 @@ def _to_object(arr) -> np.ndarray:
 def hashed_bow(texts, dim: int = BOW_DIM) -> np.ndarray:
     """(n, dim) L2-normalized hashed bag-of-words matrix (deterministic).
 
-    Tokens hash with the process-stable string hash; counts accumulate into
-    ``hash % dim`` buckets via one explode + one np.add.at — no per-row loop.
+    Tokens hash with the process-stable string hash (uniques only, mapped back
+    through factorize codes); counts accumulate via one flat bincount.
     """
-    s = pd.Series(_to_object(texts))
-    n = len(s)
+    if isinstance(texts, TokenBatch):
+        tok = texts
+    elif isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        tok = tokenize(texts)
+    else:
+        tok = tokenize(pa.array(np.asarray(texts, dtype=object), pa.string()))
+    n = tok.n_rows
     mat = np.zeros((n, dim), dtype=np.float64)
-    words = s.str.split()
-    nonnull = words.notna()
-    if nonnull.any():
-        ex = words[nonnull].explode().dropna()
-        if len(ex):
-            rows = ex.index.to_numpy(dtype=np.int64)
-            buckets = (hash_strings(ex.to_numpy(dtype=object)) % np.uint64(dim)).astype(np.int64)
-            np.add.at(mat, (rows, buckets), 1.0)
+    if len(tok.rows):
+        buckets = (tok.uniq_hash % np.uint64(dim)).astype(np.int64)[tok.codes]
+        flat_idx = tok.rows * dim + buckets
+        mat = np.bincount(flat_idx, minlength=n * dim).astype(np.float64).reshape(n, dim)
     norms = np.linalg.norm(mat, axis=1)
     mat /= np.maximum(norms, 1e-12)[:, None]
     return mat

@@ -1,0 +1,630 @@
+"""The query surface: one callable per implemented operator/pipeline
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express it.
+
+Every callable takes ``sf_dir`` (a /root/testdata/sf* directory) and returns
+a Dataset / pandas DataFrame / pyarrow Table. Column names match the oracle
+SQL exactly (driver hashes values under sorted column names). Float columns
+are rounded identically on both sides where accumulation order could differ.
+
+The transcript-validation entries synthesize their input deterministically
+(seeded generator, cached under /tmp) because the transcript table is this
+engine's native input shape (BASELINE.json input_hint) and is not part of
+the shared sf tables; they carry rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..config import ValidationConfig
+from ..functions import textfuncs as tf
+from ..functions.sketches import HyperLogLog
+from ..sources.datagen import GenSpec, generate
+from ..stages import dedup as dd
+from ..stages import joins as jn
+from ..stages import multimodal as mm
+from ..stages import similarity as sim
+from ..stages import text_analysis as ta
+from .validate import read_violations, run_validation
+
+_SYNTH_ROOT = "/tmp/teleharvest_synth"
+_OUT_ROOT = "/tmp/teleharvest_out"
+
+_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+_SF_FILES = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 32}
+
+
+def synth_transcripts(sf_dir: str) -> str:
+    """Deterministic transcript dataset sized to the sf level, cached."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    rows = _SF_ROWS.get(base, 6_000)
+    files = _SF_FILES.get(base, 8)
+    out = os.path.join(_SYNTH_ROOT, base)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        generate(out, GenSpec(rows_hint=rows, n_files=files, seed=42, hot_conv=True))
+    return out
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# transcript validation (native input; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def validate_transcripts(sf_dir: str) -> pd.DataFrame:
+    data = synth_transcripts(sf_dir)
+    out = os.path.join(_OUT_ROOT, os.path.basename(data))
+    shutil.rmtree(out, ignore_errors=True)
+    run_validation(data, out, ValidationConfig())
+    vio = read_violations(out)
+    return vio.sort_values(["check_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def transcript_stats(sf_dir: str) -> pd.DataFrame:
+    data = synth_transcripts(sf_dir)
+    out = os.path.join(_OUT_ROOT, os.path.basename(data) + "_stats")
+    shutil.rmtree(out, ignore_errors=True)
+    s = run_validation(data, out, ValidationConfig(), write_annotated=False)
+    cs = s["column_stats"]
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": s["rows_scanned"],
+                "n_partitions": s["n_partitions"],
+                "violations_total": s["violations_partition_local"] + s["violations_global"],
+                "approx_distinct_convs": cs["approx_distinct_convs"],
+                "text_len_p50": cs["text_len"]["p50"],
+                "token_p50": cs["token_count"]["p50"],
+            }
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregates (G1-G6) — lineitem / orders / events
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate with per-batch PRE-AGGREGATION:
+    partials per (flag,status) inside map_batches, then a tiny groupby over
+    partials — the shuffle carries one row per key per batch, not the data."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(revenue=batch.l_extendedprice * (1 - batch.l_discount))
+        g = batch.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out.sum_qty / out.n).round(4)
+    out["sum_qty"] = out.sum_qty.round(2)
+    out["sum_revenue"] = out.sum_revenue.round(2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "avg_qty", "n"]]
+
+
+def q_user_watermarks(sf_dir: str) -> pd.DataFrame:
+    """Per-entity watermark (G2/O1: the reference's last-id query,
+    models/message.py:75-89) + window start (G3/O2, :91-110)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    out = (
+        ds.groupby("user_id")
+        .aggregate(
+            Max("event_id", alias_name="watermark"),
+            Min("event_id", alias_name="first_id"),
+            Count(alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return out
+
+
+def q_seq_check(sf_dir: str) -> pd.DataFrame:
+    """Gap-free sequence audit on (l_orderkey, l_linenumber) — the keyspace
+    sequence check (north_rule) expressed over a shared table so the oracle
+    can verify it: gap-free ⟺ min=1 ∧ max=n_distinct."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("l_orderkey", sort=False)["l_linenumber"].agg(["size", "min", "max"])
+        return g.reset_index().rename(columns={"size": "n_lines", "min": "min_line", "max": "max_line"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby("l_orderkey")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Min("min_line", alias_name="min_line"),
+            Max("max_line", alias_name="max_line"),
+        )
+        .to_pandas()
+    )
+    # linenumbers are unique per order in this schema, so n_distinct == n_lines
+    out["gap_free"] = (out.min_line == 1) & (out.max_line == out.n_lines)
+    return out
+
+
+def q_event_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window aggregate per user (streaming-shaped workload:
+    window column inside map_batches, then grouped aggregate)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_win(tbl: pa.Table) -> pa.Table:
+        us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000
+        return pa.table({"user_id": tbl["user_id"], "win": pa.array(win), "value": tbl["value"]})
+
+    out = (
+        ds.map_batches(add_win, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out.sum_value.round(2)
+    return out
+
+
+def q_column_stats(sf_dir: str) -> pd.DataFrame:
+    """Column stats (G6) with EXACT distinct for oracle parity (the engine's
+    scale path uses HLL — see q_hll_accuracy)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity", "l_shipdate"])
+    agg = ds.aggregate(
+        Count(alias_name="n_rows"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+    )
+    n_orders = len(ds.unique("l_orderkey"))
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": agg["n_rows"],
+                "n_orders": n_orders,
+                "min_qty": round(agg["min_qty"], 2),
+                "max_qty": round(agg["max_qty"], 2),
+                "min_ship": agg["min_ship"],
+                "max_ship": agg["max_ship"],
+            }
+        ]
+    )
+
+
+def q_hll_accuracy(sf_dir: str) -> pd.DataFrame:
+    """HLL approx-distinct vs exact (rows-only; deterministic sketch)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def sketch(tbl: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=14)
+        h.update_ints(tbl["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([h.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()["blob"]
+    merged = HyperLogLog(p=14)
+    for b in blobs:
+        merged.merge(HyperLogLog.from_bytes(b))
+    exact = len(ds.unique("l_orderkey"))
+    est = merged.estimate()
+    return pd.DataFrame(
+        [{"exact": exact, "estimate": round(est, 1), "rel_err": round(abs(est - exact) / exact, 4)}]
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicates / text analysis — documents
+# ---------------------------------------------------------------------------
+
+DOC_STOP_WORDS = ("slow", "error")
+
+
+def q_filter_chain(sf_dir: str) -> pd.DataFrame:
+    """The P1→P5 short-circuit verdict over the shared documents table (the
+    oracle-checkable twin of the transcript chain; same precedence logic)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def verdict(tbl: pa.Table) -> pa.Table:
+        text = tbl["text"]
+        n = tbl.num_rows
+        missing = pc.or_kleene(pc.is_null(text), pc.equal(text, "")).to_numpy(zero_copy_only=False)
+        missing = np.asarray(missing, dtype=object) == True  # noqa: E712
+        tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        tlen = np.where(pd.isna(tlen), 0, tlen)
+        short = ~missing & (tlen < 100)
+        ff = np.full(n, None, dtype=object)
+        stop = np.zeros(n, dtype=bool)
+        for w in DOC_STOP_WORDS:
+            m = pc.match_substring_regex(text, w).to_numpy(zero_copy_only=False)
+            stop |= (np.asarray(m, dtype=object) == True) & ~missing & ~short  # noqa: E712
+        ff[stop] = "stop_word"
+        ff[short] = "text_too_short"
+        ff[missing] = "text_missing"
+        return pa.table({"doc_id": tbl["doc_id"], "first_failing_check": pa.array(ff, pa.string())})
+
+    return ds.map_batches(verdict, batch_format="pyarrow").to_pandas()
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: ta.token_stats(t).drop_columns(["text"]), batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def q_quality_counts(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: ta.quality_counts(t).drop_columns(["text"]), batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID as an actor-pool stage (rows-only: the heuristic
+    is deterministic but not SQL-expressible)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(ta.LangIdStage, batch_format="pandas", concurrency=2, batch_size=2048)
+    return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: ta.fingerprint64(t).drop_columns(["text"]), batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_props_extract(sf_dir: str) -> pd.DataFrame:
+    """JSON field extraction from the events props column (scalar-function
+    inventory: the reference's json codec, models/message.py:61)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        m = pc.extract_regex(tbl["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": tbl["event_id"], "k": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+
+
+def q_media_meta(sf_dir: str) -> pd.DataFrame:
+    """Multimodal metadata plumbing over an opaque payload (documents text
+    bytes stand in for the binary payload; see stages/multimodal.py)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def meta(tbl: pa.Table) -> pa.Table:
+        payload = tbl["text"].cast(pa.binary())
+        t = pa.table({"doc_id": tbl["doc_id"], "payload": payload})
+        return mm.attach_payload_meta(t, "payload").drop_columns(["payload"])
+
+    return ds.map_batches(meta, batch_format="pyarrow").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# dedup — documents
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_key(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+    return dd.key_dedup(ds, ["lang", "source"], "doc_id").to_pandas()
+
+
+def q_exact_text_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.exact_text_dedup(ds, "text", "doc_id").to_pandas()
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH candidates verified with exact word-3gram Jaccard ≥ 0.4
+    (rows-only: fixed-seed hashing not SQL-expressible)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    cands = dd.minhash_lsh_candidates(ds, "text", "doc_id")
+    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"]).to_pandas()
+    id_to_text = dict(zip(docs.doc_id, docs.text))
+    out = dd.verify_pairs_jaccard(cands, id_to_text, threshold=0.4)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup candidates with hamming ≤ 12 (rows-only)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dd.simhash_candidates(ds, "text", "doc_id")
+    out = pairs[pairs.hamming <= 12]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_char_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Intra-source char-set Jaccard pairs ≥ 0.98 (DuckDB jaccard() parity)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "source"])
+    out = dd.char_jaccard_pairs(ds, "text", "doc_id", "source", threshold=0.98).to_pandas()
+    out["jac"] = out["jaccard"].round(6)
+    return out[["id_a", "id_b", "jac"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_near_dup_embedding(sf_dir: str) -> pd.DataFrame:
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    all_vecs = np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    all_ids = emb["vec_id"].to_numpy()
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = dd.embedding_near_dup(ds, "embedding", "vec_id", 0.3, all_vecs, all_ids).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+    return out[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search — embeddings
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _load_queries(sf_dir: str):
+    emb = pq.read_table(_p(sf_dir, "embeddings"))
+    df = emb.to_pandas()
+    q = df[df.vec_id < N_QUERIES].sort_values("vec_id")
+    return np.stack(q.embedding.to_numpy()).astype(np.float64), q.vec_id.to_numpy()
+
+
+def q_similarity_topk(sf_dir: str) -> pd.DataFrame:
+    qm, qids = _load_queries(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = sim.topk_cosine(ds, qm, qids, TOP_K)
+    return out[["query_id", "rank", "vec_id"]].astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_similarity_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate variant (rows-only; recall measured in tests)."""
+    qm, qids = _load_queries(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = sim.lsh_bucket_topk(ds, qm, qids, TOP_K)
+    return out[["query_id", "rank", "vec_id"]].astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# joins / sorts — customer/nation/region/orders
+# ---------------------------------------------------------------------------
+
+
+def q_join_enrich(sf_dir: str) -> pd.DataFrame:
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pandas()
+    region = pq.read_table(_p(sf_dir, "region")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_nationkey"])
+    out = jn.broadcast_join(ds, dim, on="c_nationkey").to_pandas()
+    return out[["c_custkey", "c_name", "n_name", "r_name"]].sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
+    )
+    joined = jn.bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=16)
+    out = joined.to_pandas()
+    out["o_totalprice"] = out.o_totalprice.round(2)
+    return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]].sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orphan_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers with no orders: anti-join against a broadcast key set."""
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
+    keys = np.unique(orders["o_custkey"].to_numpy())
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    out = jn.anti_join_keys(ds, keys, on="c_custkey", anti=True).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    top["total"] = top.o_totalprice.round(2)
+    return top[["o_orderkey", "total"]]
+
+
+def q_drift_chi2(sf_dir: str) -> pd.DataFrame:
+    """Per-source chi-square of lang distribution vs the global distribution
+    (G7 drift statistic, oracle-checkable over observed categories)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "lang"])
+    counts = ds.groupby(["source", "lang"]).aggregate(Count(alias_name="n")).to_pandas()
+    total = counts.n.sum()
+    glob = counts.groupby("lang").n.sum() / total
+    per_src = counts.groupby("source").n.sum()
+    counts["obs"] = counts.n / counts.source.map(per_src)
+    counts["exp"] = counts.lang.map(glob)
+    counts["term"] = (counts.obs - counts.exp) ** 2 / counts.exp
+    out = counts.groupby("source", as_index=False)["term"].sum().rename(columns={"term": "chi2"})
+    out["chi2"] = out.chi2.round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "validate_transcripts": validate_transcripts,
+    "transcript_stats": transcript_stats,
+    "q_pricing_summary": q_pricing_summary,
+    "q_user_watermarks": q_user_watermarks,
+    "q_seq_check": q_seq_check,
+    "q_event_windows": q_event_windows,
+    "q_column_stats": q_column_stats,
+    "q_hll_accuracy": q_hll_accuracy,
+    "q_filter_chain": q_filter_chain,
+    "q_token_stats": q_token_stats,
+    "q_quality_counts": q_quality_counts,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_props_extract": q_props_extract,
+    "q_media_meta": q_media_meta,
+    "q_dedup_key": q_dedup_key,
+    "q_exact_text_dedup": q_exact_text_dedup,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_char_jaccard_pairs": q_char_jaccard_pairs,
+    "q_near_dup_embedding": q_near_dup_embedding,
+    "q_similarity_topk": q_similarity_topk,
+    "q_similarity_lsh": q_similarity_lsh,
+    "q_join_enrich": q_join_enrich,
+    "q_join_orders_customer": q_join_orders_customer,
+    "q_orphan_customers": q_orphan_customers,
+    "q_top_orders": q_top_orders,
+    "q_drift_chi2": q_drift_chi2,
+}
+
+ORACLE_SQL = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+               ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_user_watermarks": """
+        SELECT user_id, MAX(event_id) AS watermark, MIN(event_id) AS first_id,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "q_seq_check": """
+        SELECT l_orderkey, COUNT(*) AS n_lines, MIN(l_linenumber) AS min_line,
+               MAX(l_linenumber) AS max_line,
+               (MIN(l_linenumber) = 1 AND MAX(l_linenumber) = COUNT(*)) AS gap_free
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "q_event_windows": """
+        SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_column_stats": """
+        SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+               ROUND(MIN(l_quantity), 2) AS min_qty, ROUND(MAX(l_quantity), 2) AS max_qty,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem
+    """,
+    "q_filter_chain": """
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN 'text_missing'
+                    WHEN length(text) < 100 THEN 'text_too_short'
+                    WHEN regexp_matches(text, 'slow') OR regexp_matches(text, 'error')
+                         THEN 'stop_word'
+               END AS first_failing_check
+        FROM documents
+    """,
+    "q_token_stats": """
+        SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               length(text) AS n_chars, strlen(text) AS n_bytes
+        FROM documents
+    """,
+    "q_quality_counts": """
+        SELECT doc_id, len(regexp_extract_all(text, '[^\\W_]')) AS alnum_chars,
+               len(regexp_extract_all(text, '\\S')) AS nonspace_chars
+        FROM documents
+    """,
+    "q_props_extract": """
+        SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """,
+    "q_media_meta": """
+        SELECT doc_id, strlen(text) AS n_bytes, strlen(text) % 640 AS width,
+               (strlen(text) // 640) % 480 AS height
+        FROM documents
+    """,
+    "q_dedup_key": """
+        SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY lang, source
+    """,
+    "q_exact_text_dedup": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "q_char_jaccard_pairs": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(jaccard(a.text, b.text), 6) AS jac
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE jaccard(a.text, b.text) >= 0.98
+    """,
+    "q_near_dup_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    "q_similarity_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        pairs AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS s
+          FROM q, embeddings e WHERE e.vec_id != q.qid
+        )
+        SELECT query_id, rank, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+          FROM pairs
+        ) WHERE rank <= {TOP_K}
+    """,
+    "q_join_enrich": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q_join_orders_customer": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_orphan_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "q_top_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q_drift_chi2": """
+        WITH c AS (SELECT source, lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1, 2),
+        s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+        g AS (SELECT lang, SUM(n) AS ng FROM c GROUP BY 1),
+        t AS (SELECT SUM(n) AS nt FROM c)
+        SELECT c.source,
+               ROUND(SUM(POW(c.n / s.ns - g.ng / t.nt, 2) / (g.ng / t.nt)), 6) AS chi2
+        FROM c JOIN s USING (source) JOIN g USING (lang) CROSS JOIN t
+        GROUP BY c.source
+    """,
+}

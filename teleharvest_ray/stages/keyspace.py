@@ -2,25 +2,37 @@
 
 Recasts the reference's composite-PK discipline — ``(id, channel)`` uniqueness
 enforced by the database (``models/message.py:34-36``) and the id-monotone
-watermark assumption (``models/message.py:75-89``) — as dataset-wide shuffle
-checks per the north_rule:
+watermark assumption (``models/message.py:75-89``) — as dataset-wide checks
+per the north_rule:
 
 - **dup_key**: duplicate ``(conv_id, turn_idx)`` pairs,
 - **seq_gap**: ``turn_idx`` not a gap-free ``0..n`` sequence per conversation,
 - **orphan_conv**: a ``conv_id`` present in turns but absent from the
   conversations index (referential resolution).
 
-Scale design (SURVEY.md §4): ONE salted hash-shuffle over only
-``(conv_id, turn_idx)`` (columns pruned at the read) serves all three checks.
-The salt is ``hash(conv_id, turn_idx) % S`` — the FULL composite key, so a
-hot conversation's turns spread uniformly over the S buckets (dup detection is
-salt-compatible because identical keys land in the same bucket). Per-conv
-sequence statistics are additive across buckets (distinct keys partition by
-hash), so gap detection needs only a tiny second groupby over per-bucket
-per-conv partials: a conversation is gap-free iff ``min == 0`` and
-``max == n_distinct - 1``. Only conversations that FAIL that predicate (a tiny
-set) are re-scanned exactly to locate the first missing index — full-data work
-stays vectorized; per-group Python touches violators only.
+Scale design (SURVEY.md §4). The naive shape — ``groupby(salt)`` over one row
+per key — moves ~30 bytes/row through the engine's sort machinery. Instead the
+shuffle happens in **packed hash space**:
+
+1. One column-pruned streaming pass emits, per block, (a) a binary blob of
+   ``hash(conv_id, turn_idx)`` packed uint64s — 8 bytes/row, the full
+   composite key, so hot conversations spread uniformly (salting) while
+   identical keys still collide — and (b) per-conversation partial sequence
+   stats (a few rows per conversation per block).
+2. Candidate dup hashes come from sorting the packed arrays: locally small;
+   at cluster scale the blobs hash-range-partition across merge tasks (each
+   task owns a hash range, sorts ~N/S values) — a salted hash shuffle
+   hand-rolled over dense arrays because the Dataset API cannot express a
+   packed-array exchange. Range-merge helper: :func:`find_dup_hashes`.
+3. Conversation partials aggregate to per-conv summaries; a conversation is
+   gap-free iff ``min == 0 and max == n_distinct - 1``. Cross-block
+   duplicate keys can overcount ``n_distinct`` → false *candidates*, never
+   false violations (step 4 verifies).
+4. ONE verification scan re-reads only rows whose key hash is a dup
+   candidate or whose conversation is flagged (vectorized searchsorted
+   filters against broadcast sorted arrays) and computes exact dup counts +
+   exact first-missing indices driver-side — the candidate set is the
+   anomaly set, orders of magnitude smaller than the data.
 
 Rows with missing ``conv_id`` are excluded here: they are already flagged
 ``conv_id_missing`` by the row chain (processor.py:102-104 analog).
@@ -34,85 +46,90 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
 
 from ..config import ValidationConfig
 from ..functions.hashing import hash_key
 
-
-def _prep_batch(salt_buckets: int):
-    def prep(tbl: pa.Table) -> pa.Table:
-        """Per-batch pre-aggregation: (conv_id, turn_idx) → count within the
-        batch, plus the salted bucket id. Shrinks the shuffle to three small
-        columns regardless of row width."""
-        df = pd.DataFrame(
-            {
-                "conv_id": np.asarray(tbl["conv_id"].to_pandas(), dtype=object),
-                "turn_idx": tbl["turn_idx"].to_numpy(zero_copy_only=False),
-            }
-        )
-        df = df[df["conv_id"].notna() & (df["conv_id"] != "")]
-        if not len(df):
-            return pa.table(
-                {
-                    "conv_id": pa.nulls(0, pa.string()),
-                    "turn_idx": pa.nulls(0, pa.int32()),
-                    "cnt": pa.nulls(0, pa.int64()),
-                    "salt": pa.nulls(0, pa.int32()),
-                }
-            )
-        g = df.groupby(["conv_id", "turn_idx"], sort=False).size().reset_index(name="cnt")
-        salt = (hash_key(g["conv_id"].to_numpy(object), g["turn_idx"].to_numpy()) % np.uint64(salt_buckets)).astype(
-            np.int32
-        )
-        return pa.table(
-            {
-                "conv_id": pa.array(g["conv_id"].to_numpy(object), pa.string()),
-                "turn_idx": pa.array(g["turn_idx"].to_numpy(), pa.int32()),
-                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
-                "salt": pa.array(salt, pa.int32()),
-            }
-        )
-
-    return prep
+VIOLATION_COLS = ["conv_id", "turn_idx", "check_id", "detail"]
 
 
-def _bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-salt-bucket reduction: total count per key → dup violations; plus
-    per-conversation partial sequence stats (additive across buckets)."""
-    per_key = g.groupby(["conv_id", "turn_idx"], sort=False)["cnt"].sum().reset_index()
-    dups = per_key[per_key["cnt"] > 1]
-    out_dup = pd.DataFrame(
+def _prep_batch(tbl: pa.Table) -> pa.Table:
+    """Per-block pre-aggregation: packed key-hash blob + per-conv partials."""
+    conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
+    turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+    ok = pd.notna(conv) & (conv != "")
+    conv, turn = conv[ok], turn[ok]
+    n = len(conv)
+    if n == 0:
+        return _empty_prep()
+    hashes = hash_key(conv, turn)
+    df = pd.DataFrame({"conv_id": conv, "turn_idx": turn})
+    c = df.groupby("conv_id", sort=False)["turn_idx"].agg(["nunique", "min", "max", "size"]).reset_index()
+    nc = len(c)
+    return pa.table(
         {
-            "kind": "dup",
-            "conv_id": dups["conv_id"],
-            "turn_idx": dups["turn_idx"].astype("int32"),
-            "detail": "count=" + dups["cnt"].astype(str),
-            "n_distinct": np.int64(0),
-            "min_t": np.int32(0),
-            "max_t": np.int32(0),
-            "n_rows": np.int64(0),
+            "kind": pa.array(["blob"] + ["conv"] * nc),
+            "conv_id": pa.array(np.concatenate([[""], c["conv_id"].to_numpy(object)]), pa.string()),
+            "n_distinct": pa.array(
+                np.concatenate([[0], c["nunique"].to_numpy()]).astype(np.int64)
+            ),
+            "min_t": pa.array(np.concatenate([[0], c["min"].to_numpy()]).astype(np.int32)),
+            "max_t": pa.array(np.concatenate([[0], c["max"].to_numpy()]).astype(np.int32)),
+            "n_rows": pa.array(np.concatenate([[n], c["size"].to_numpy()]).astype(np.int64)),
+            "blob": pa.array([hashes.tobytes()] + [None] * nc, pa.binary()),
         }
     )
-    conv = per_key.groupby("conv_id", sort=False).agg(
-        n_distinct=("turn_idx", "size"),
-        min_t=("turn_idx", "min"),
-        max_t=("turn_idx", "max"),
-        n_rows=("cnt", "sum"),
-    ).reset_index()
-    out_conv = pd.DataFrame(
+
+
+def _empty_prep() -> pa.Table:
+    return pa.table(
         {
-            "kind": "conv",
-            "conv_id": conv["conv_id"],
-            "turn_idx": np.int32(-1),
-            "detail": "",
-            "n_distinct": conv["n_distinct"].astype("int64"),
-            "min_t": conv["min_t"].astype("int32"),
-            "max_t": conv["max_t"].astype("int32"),
-            "n_rows": conv["n_rows"].astype("int64"),
+            "kind": pa.nulls(0, pa.string()),
+            "conv_id": pa.nulls(0, pa.string()),
+            "n_distinct": pa.nulls(0, pa.int64()),
+            "min_t": pa.nulls(0, pa.int32()),
+            "max_t": pa.nulls(0, pa.int32()),
+            "n_rows": pa.nulls(0, pa.int64()),
+            "blob": pa.nulls(0, pa.binary()),
         }
     )
-    return pd.concat([out_dup, out_conv], ignore_index=True)
+
+
+@ray.remote
+def _range_dups(blob_refs: list, lo: int, hi: int) -> np.ndarray:
+    """Merge task for one hash range [lo, hi): gathers its slice of every
+    sorted blob, finds values occurring more than once."""
+    parts = []
+    for ref in blob_refs:
+        arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if not isinstance(arr, np.ndarray):
+            arr = np.frombuffer(arr, dtype=np.uint64)
+        a, b = np.searchsorted(arr, lo), np.searchsorted(arr, hi)
+        parts.append(arr[a:b])
+    merged = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    dup_mask = np.zeros(len(merged), dtype=bool)
+    dup_mask[1:] = merged[1:] == merged[:-1]
+    return np.unique(merged[dup_mask])
+
+
+def find_dup_hashes(blobs: list[bytes], n_ranges: int = 1) -> np.ndarray:
+    """Duplicate hash candidates across packed blobs.
+
+    ``n_ranges > 1`` runs the hash-range-partitioned merge as parallel Ray
+    tasks (the cluster-scale path); 1 sorts locally (fine up to ~10^8 keys
+    per node)."""
+    arrays = [np.sort(np.frombuffer(b, dtype=np.uint64)) for b in blobs if b is not None]
+    if not arrays:
+        return np.empty(0, np.uint64)
+    if n_ranges <= 1:
+        merged = np.sort(np.concatenate(arrays))
+        dup_mask = np.zeros(len(merged), dtype=bool)
+        dup_mask[1:] = merged[1:] == merged[:-1]
+        return np.unique(merged[dup_mask])
+    refs = [ray.put(a) for a in arrays]
+    bounds = np.linspace(0, 2**64, n_ranges + 1).astype(np.uint64)
+    futs = [_range_dups.remote(refs, int(bounds[i]), int(bounds[i + 1])) for i in range(n_ranges)]
+    return np.concatenate(ray.get(futs)) if futs else np.empty(0, np.uint64)
 
 
 def keyspace_checks(
@@ -120,139 +137,116 @@ def keyspace_checks(
     known_conv_ids,
     cfg: ValidationConfig | None = None,
 ) -> pa.Table:
-    """Run all three key-space checks; returns the violations as a pyarrow
-    Table (violations are assumed collectable — they are the anomaly set, not
-    the data; at 10^12 rows a pathological input could make this large, in
-    which case swap the final ``.to_arrow_refs`` collection for a
-    ``write_parquet``).
-
-    ``known_conv_ids``: the conversations-index id collection (the referential
-    side). Broadcast via ``ray.put`` as a sorted numpy array; the membership
-    probe is a vectorized ``searchsorted`` per batch. At larger-than-memory
-    index scale, substitute a Bloom filter here (same seam).
-    """
+    """Run all three key-space checks; returns violations as a pyarrow Table
+    (the anomaly set — collectable by design)."""
     cfg = cfg or ValidationConfig()
-    prep = turns.map_batches(_prep_batch(cfg.salt_buckets), batch_format="pyarrow")
-    mixed = prep.groupby("salt").map_groups(_bucket_reduce, batch_format="pandas")
+    prep = turns.map_batches(_prep_batch, batch_format="pyarrow", batch_size=None).materialize()
+    pdf = prep.to_pandas()  # small: one blob row per block + conv partials
 
-    # dup violations (small) — collect
-    dup_tbl = mixed.filter(expr="kind == 'dup'").drop_columns(
-        ["kind", "n_distinct", "min_t", "max_t", "n_rows"]
-    ).to_arrow_refs()
-    dup_parts = [ray.get(r) for r in dup_tbl]
+    # --- dup candidates from packed hashes ---
+    blobs = pdf[pdf["kind"] == "blob"]["blob"].tolist()
+    n_keys = int(pdf[pdf["kind"] == "blob"]["n_rows"].sum())
+    n_ranges = 1 if n_keys < 20_000_000 else max(2, min(64, n_keys // 10_000_000))
+    dup_hashes = np.sort(find_dup_hashes(blobs, n_ranges))
 
-    # per-conv summary: merge bucket partials (vectorized native aggregate)
-    conv_sum = (
-        mixed.filter(expr="kind == 'conv'")
-        .groupby("conv_id")
-        .aggregate(
-            Sum("n_distinct", alias_name="n_distinct"),
-            Min("min_t", alias_name="min_t"),
-            Max("max_t", alias_name="max_t"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
+    # --- per-conv summaries (merge block partials) ---
+    convs = pdf[pdf["kind"] == "conv"]
+    summ = convs.groupby("conv_id", sort=False).agg(
+        n_distinct=("n_distinct", "sum"),
+        min_t=("min_t", "min"),
+        max_t=("max_t", "max"),
+        n_rows=("n_rows", "sum"),
+    ).reset_index()
+    gap_flag = (summ["min_t"].to_numpy() != 0) | (
+        summ["max_t"].to_numpy() != summ["n_distinct"].to_numpy() - 1
     )
-
+    conv_arr = summ["conv_id"].to_numpy(object)
     index_sorted = np.sort(np.asarray(list(known_conv_ids), dtype=object))
-    index_ref = ray.put(index_sorted)
+    if len(index_sorted):
+        pos = np.clip(np.searchsorted(index_sorted, conv_arr), 0, len(index_sorted) - 1)
+        orphan_flag = index_sorted[pos] != conv_arr
+    else:
+        orphan_flag = np.ones(len(conv_arr), dtype=bool)
+    gap_convs = np.sort(conv_arr[gap_flag])
+    orphans = conv_arr[orphan_flag]
 
-    def flag_convs(tbl: pa.Table) -> pa.Table:
-        idx = ray.get(index_ref)
-        conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
-        nd = tbl["n_distinct"].to_numpy(zero_copy_only=False)
-        mn = tbl["min_t"].to_numpy(zero_copy_only=False)
-        mx = tbl["max_t"].to_numpy(zero_copy_only=False)
-        gap = (mn != 0) | (mx != nd - 1)
-        if len(idx):
-            pos = np.searchsorted(idx, conv)
-            pos = np.clip(pos, 0, len(idx) - 1)
-            orphan = idx[pos] != conv
-        else:
-            orphan = np.ones(len(conv), dtype=bool)
-        keep = gap | orphan
-        return pa.table(
-            {
-                "conv_id": pa.array(conv[keep], pa.string()),
-                "gap": pa.array(gap[keep]),
-                "orphan": pa.array(orphan[keep]),
-            }
+    out_frames = []
+    if len(orphans):
+        out_frames.append(
+            pd.DataFrame(
+                {"conv_id": orphans, "turn_idx": np.int32(-1), "check_id": "orphan_conv", "detail": ""}
+            )
         )
 
-    flagged = conv_sum.map_batches(flag_convs, batch_format="pyarrow").to_pandas()
+    # --- ONE exact verification scan for dup + gap candidates ---
+    if len(dup_hashes) or len(gap_convs):
+        dup_ref = ray.put(dup_hashes)
+        gap_ref = ray.put(gap_convs)
 
-    out = [t for t in dup_parts if t.num_rows]
-    if len(flagged):
-        orphans = flagged[flagged["orphan"]]
-        if len(orphans):
-            out.append(
-                pa.table(
-                    {
-                        "conv_id": pa.array(orphans["conv_id"].to_numpy(object), pa.string()),
-                        "turn_idx": pa.array(np.full(len(orphans), -1, np.int32)),
-                        "check_id": pa.array(["orphan_conv"] * len(orphans)),
-                        "detail": pa.array([""] * len(orphans)),
-                    }
-                )
+        def pick(tbl: pa.Table) -> pa.Table:
+            dh = ray.get(dup_ref)
+            gc = ray.get(gap_ref)
+            conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
+            turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+            ok = pd.notna(conv) & (conv != "")
+            keep = np.zeros(len(conv), dtype=bool)
+            if len(dh):
+                h = hash_key(conv, np.where(pd.isna(turn), -1, turn))
+                p = np.clip(np.searchsorted(dh, h), 0, len(dh) - 1)
+                keep |= (dh[p] == h) & ok
+            if len(gc):
+                p = np.clip(np.searchsorted(gc, conv), 0, len(gc) - 1)
+                keep |= (gc[p] == conv) & ok
+            return pa.table(
+                {
+                    "conv_id": pa.array(conv[keep], pa.string()),
+                    "turn_idx": pa.array(turn[keep].astype(np.int32)),
+                }
             )
-        gap_convs = flagged[flagged["gap"]]["conv_id"].to_numpy(object)
+
+        small = turns.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
+
+        if len(dup_hashes):
+            h = hash_key(small["conv_id"].to_numpy(object), small["turn_idx"].to_numpy())
+            p = np.clip(np.searchsorted(dup_hashes, h), 0, max(len(dup_hashes) - 1, 0))
+            cand = small[dup_hashes[p] == h]
+            per_key = cand.groupby(["conv_id", "turn_idx"], sort=False).size().reset_index(name="cnt")
+            dups = per_key[per_key["cnt"] > 1]  # exact: hash collisions drop out here
+            if len(dups):
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": dups["conv_id"].to_numpy(object),
+                            "turn_idx": dups["turn_idx"].to_numpy().astype(np.int32),
+                            "check_id": "dup_key",
+                            "detail": "count=" + dups["cnt"].astype(str),
+                        }
+                    )
+                )
         if len(gap_convs):
-            out.append(_exact_gap_pass(turns, gap_convs))
+            sub = small[np.isin(small["conv_id"].to_numpy(object), gap_convs)]
+            rows = []
+            for conv, g in sub.groupby("conv_id"):
+                u = np.unique(g["turn_idx"].to_numpy())
+                missing = np.setdiff1d(np.arange(u.max() + 1), u, assume_unique=True)
+                if len(missing):  # overcount-only candidates come out clean
+                    rows.append((conv, int(missing[0]), "seq_gap", f"missing={len(missing)}"))
+            if rows:
+                out_frames.append(pd.DataFrame(rows, columns=VIOLATION_COLS))
 
-    if out:
-        out = [
-            t.select(["conv_id", "turn_idx", "check_id", "detail"])
-            if t.column_names != ["conv_id", "turn_idx", "check_id", "detail"]
-            else t
-            for t in _norm_dup(out)
-        ]
-        return pa.concat_tables(out)
+    if out_frames:
+        pdf_out = pd.concat(out_frames, ignore_index=True)
+    else:
+        pdf_out = pd.DataFrame({c: pd.Series(dtype="object") for c in VIOLATION_COLS})
     return pa.table(
         {
-            "conv_id": pa.nulls(0, pa.string()),
-            "turn_idx": pa.nulls(0, pa.int32()),
-            "check_id": pa.nulls(0, pa.string()),
-            "detail": pa.nulls(0, pa.string()),
-        }
-    )
-
-
-def _norm_dup(tables: list[pa.Table]) -> list[pa.Table]:
-    """Give dup partials their check_id column."""
-    fixed = []
-    for t in tables:
-        if "check_id" not in t.column_names:
-            t = t.append_column("check_id", pa.array(["dup_key"] * t.num_rows))
-        fixed.append(t)
-    return fixed
-
-
-def _exact_gap_pass(turns: Dataset, gap_convs: np.ndarray) -> pa.Table:
-    """Exact first-missing-index location for the (tiny) violating set:
-    broadcast semi-join filter, then per-conv exact scan."""
-    bad_sorted = np.sort(gap_convs)
-    bad_ref = ray.put(bad_sorted)
-
-    def only_bad(tbl: pa.Table) -> pa.Table:
-        bad = ray.get(bad_ref)
-        conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
-        pos = np.clip(np.searchsorted(bad, conv), 0, len(bad) - 1)
-        keep = bad[pos] == conv
-        return tbl.filter(pa.array(keep)).select(["conv_id", "turn_idx"])
-
-    small = turns.map_batches(only_bad, batch_format="pyarrow").to_pandas()
-    rows = []
-    for conv, g in small.groupby("conv_id"):
-        u = np.unique(g["turn_idx"].to_numpy())
-        expect = np.arange(u.max() + 1)
-        missing = np.setdiff1d(expect, u, assume_unique=True)
-        first = int(missing[0]) if len(missing) else 0
-        n_miss = len(missing) if len(missing) else int(u.min())  # min>0 case
-        rows.append((conv, first, "seq_gap", f"missing={n_miss}"))
-    return pa.table(
-        {
-            "conv_id": pa.array([r[0] for r in rows], pa.string()),
-            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
-            "check_id": pa.array([r[2] for r in rows]),
-            "detail": pa.array([r[3] for r in rows]),
+            "conv_id": pa.array(pdf_out["conv_id"].to_numpy(object), pa.string()),
+            "turn_idx": pa.array(
+                np.asarray(pdf_out["turn_idx"].to_numpy(), dtype=np.int64).astype(np.int32)
+                if len(pdf_out)
+                else np.empty(0, np.int32)
+            ),
+            "check_id": pa.array(pdf_out["check_id"].to_numpy(object), pa.string()),
+            "detail": pa.array(pdf_out["detail"].to_numpy(object), pa.string()),
         }
     )

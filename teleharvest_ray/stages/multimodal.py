@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata columns;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The decode kernels themselves are STUBBED (no
+image/audio libraries in this container — clearly marked below); the Ray-side
+plumbing — schema, small batch sizes for wide binary rows, actor signature,
+output layout — is real and tested.
+
+Scale notes: binary payloads dominate block size; use small ``batch_size``
+and let ``DataContext.target_max_block_size`` keep blocks sane; the metadata
+path (everything below except the stub body) is exactly what a real decoder
+would keep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+try:  # real decoders would import here; gate behind import-try per contract
+    import PIL.Image as _PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def attach_payload_meta(tbl: pa.Table, payload_col: str) -> pa.Table:
+    """Typed metadata for an opaque payload column: byte length plus a
+    deterministic pseudo-geometry derived from it (stands in for the header
+    parse a real decoder does)."""
+    n_bytes = pc.binary_length(tbl[payload_col]).cast(pa.int64())
+    nb = n_bytes.to_numpy(zero_copy_only=False).astype(np.int64)
+    width = nb % 640
+    height = (nb // 640) % 480
+    out = tbl.append_column("n_bytes", n_bytes)
+    out = out.append_column("width", pa.array(width))
+    out = out.append_column("height", pa.array(height))
+    return out
+
+
+class ImageDecodeStage:
+    """Actor-pool decode stage. Real plumbing, STUBBED kernel.
+
+    ``__init__`` is where a real implementation loads the codec / model once
+    per actor; ``__call__`` decodes a batch. Without an imaging library the
+    kernel either raises (strict=True) or produces a deterministic fake
+    feature vector from the payload bytes (strict=False) so the pipeline
+    shape stays testable.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (64, 64), strict: bool = False):
+        self.target_size = target_size
+        self.strict = strict
+        self.has_codec = _HAS_PIL
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.strict and not self.has_codec:
+            raise NotImplementedError(
+                "image decode requires an imaging library not present in this "
+                "environment; run with strict=False for the deterministic stub"
+            )
+        payloads = batch["payload"]
+        # STUB: a real decoder would decode+resize here. The deterministic
+        # stand-in hashes payload bytes into a tiny feature vector so
+        # downstream stages (dedup, ANN) are exercised end-to-end.
+        feats = []
+        for p in payloads:
+            b = np.frombuffer(p if isinstance(p, (bytes, bytearray)) else bytes(p), dtype=np.uint8)
+            if len(b) == 0:
+                feats.append(np.zeros(8, dtype=np.float32))
+                continue
+            chunks = np.array_split(b.astype(np.float32), 8)
+            feats.append(np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32))
+        batch = batch.copy()
+        batch["decoded_w"] = self.target_size[0]
+        batch["decoded_h"] = self.target_size[1]
+        batch["features"] = feats
+        return batch
+
+
+def frame_sample_plan(tbl: pa.Table, every_n: int = 30) -> pa.Table:
+    """Frame-sampling plan for video payloads: emits (payload_id, frame_idx)
+    rows without touching payload bytes — the flat_map shape a real sampler
+    uses. Frame count is derived from the byte length (stub for container
+    header parsing)."""
+    nb = pc.binary_length(tbl["payload"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_frames = np.maximum(nb // 1024, 1)
+    sampled = [np.arange(0, f, every_n) for f in n_frames]
+    counts = np.array([len(s) for s in sampled])
+    ids = tbl["payload_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "payload_id": pa.array(np.repeat(ids, counts)),
+            "frame_idx": pa.array(np.concatenate(sampled) if counts.sum() else np.array([], dtype=np.int64)),
+        }
+    )
+
+
+def decode_pipeline(ds: Dataset, concurrency: int = 4, batch_size: int = 64) -> Dataset:
+    """Wire the decode stage as an actor pool with small batches (wide binary
+    rows) — the canonical multimodal stage shape."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

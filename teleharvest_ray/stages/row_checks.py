@@ -147,25 +147,27 @@ def evaluate_chain(
         f_score[idx] = s <= cfg.min_score  # reference: score<=min → skip (processor.py:126)
         ok1 = idx[~(s <= cfg.min_score)]
         if len(ok1):
-            # P9 alt rewrite + P10 alt score
+            # P9 alt rewrite + P10 alt score — ONE tokenization pass feeds the
+            # alt score, the token count, and the hashed-BoW similarity
             sub_alt = tf.rewrite_alt(text_norm.take(pa.array(ok1)))
             if isinstance(sub_alt, pa.ChunkedArray):
                 sub_alt = sub_alt.combine_chunks()
-            sa = tf.alt_score(sub_alt)
+            tok = tf.tokenize(sub_alt)
+            sa = tf.alt_score(tok)
             score_alt[ok1] = sa
             f_alt[ok1] = sa <= cfg.min_score_alt
             ok2_mask = ~(sa <= cfg.min_score_alt)
-            ok2 = ok1[ok2_mask]
             # materialize alt column (null except rows that reached P9)
             alt_np = np.full(n, None, dtype=object)
             alt_np[ok1] = np.asarray(sub_alt.to_pandas(), dtype=object)
             alt_arr = pa.array(alt_np, pa.string())
-            if len(ok2):
+            if ok2_mask.any():
                 # P11 embedding proxy + P12 broadcast max-cosine
-                final_alt = sub_alt.take(pa.array(np.flatnonzero(ok2_mask)))
-                tokens[ok2] = tf.token_count(final_alt)
-                vecs = tf.hashed_bow(final_alt)
-                sim[ok2] = tf.max_cosine(vecs, exemplars)
+                pos2 = np.flatnonzero(ok2_mask)
+                tc_all = tf.token_count(tok)
+                bow_all = tf.hashed_bow(tok)
+                tokens[ok1[pos2]] = tc_all[pos2]
+                sim[ok1[pos2]] = tf.max_cosine(bow_all[pos2], exemplars)
 
     # precedence-resolved first failing check
     first_fail = np.full(n, None, dtype=object)

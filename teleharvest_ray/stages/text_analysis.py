@@ -1,0 +1,98 @@
+"""Text analysis stages: token stats, quality counts, language-ID heuristic,
+document fingerprinting.
+
+These generalize the reference's scalar text functions (SURVEY.md §2.7:
+regex length/stop-word checks, quality evaluation parsing) into the text
+toolkit a training-data pipeline needs. Everything is batch-vectorized
+(pyarrow RE2 kernels / one pandas explode); the language-ID stage is the
+canonical stateful actor-pool example (marker tables built once per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_strings, splitmix64
+
+# tiny marker dictionaries (top function words); an n-gram model would slot
+# into the same actor without changing the pipeline shape
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "ich", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "por", "que", "con"},
+    "ru": {"и", "в", "не", "на", "что", "это", "с", "как", "по", "то"},
+}
+
+
+def token_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens (\\S+ runs), n_chars (codepoints), n_bytes (utf-8) per row —
+    all RE2/Arrow kernels, zero-copy in."""
+    text = tbl[text_col]
+    n_tokens = pc.count_substring_regex(text, pattern=r"\S+")
+    n_chars = pc.utf8_length(text)
+    n_bytes = pc.binary_length(text)
+    out = tbl.append_column("n_tokens", n_tokens.cast(pa.int64()))
+    out = out.append_column("n_chars", n_chars.cast(pa.int64()))
+    out = out.append_column("n_bytes", n_bytes.cast(pa.int64()))
+    return out
+
+
+def quality_counts(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """alnum_chars / nonspace_chars / stopword_tokens counts (quality-scoring
+    raw features; the deterministic analog of the reference's LLM evaluation
+    inputs, services/openai_service.py:35-45)."""
+    text = tbl[text_col]
+    alnum = pc.count_substring_regex(text, pattern=r"[^\W_]")
+    nonspace = pc.count_substring_regex(text, pattern=r"\S")
+    out = tbl.append_column("alnum_chars", alnum.cast(pa.int64()))
+    out = out.append_column("nonspace_chars", nonspace.cast(pa.int64()))
+    return out
+
+
+class LangIdStage:
+    """Actor-pool language-ID: marker lookup tables prepared once per actor
+    (__init__), batches scored vectorized (__call__) — the A1/A3 load-once
+    pattern (reference services/embedding_service.py:15-16)."""
+
+    def __init__(self, markers: dict[str, set] | None = None):
+        self.markers = markers or _LANG_MARKERS
+        self.langs = sorted(self.markers)
+        self.word_to_lang: dict[str, int] = {}
+        for li, lang in enumerate(self.langs):
+            for w in self.markers[lang]:
+                self.word_to_lang.setdefault(w, li)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        s = batch["text"].str.lower().str.split()
+        n = len(batch)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        ex = s.explode()
+        ex = ex[ex.notna()]
+        if len(ex):
+            mapped = ex.map(self.word_to_lang)
+            hit = mapped.notna()
+            if hit.any():
+                rows = ex.index.to_numpy()[hit.to_numpy()].astype(np.int64)
+                cols = mapped[hit].to_numpy().astype(np.int64)
+                np.add.at(scores, (rows, cols), 1)
+        best = scores.argmax(1)
+        has_any = scores.max(1) > 0
+        batch = batch.copy()
+        batch["lang_pred"] = np.where(has_any, np.array(self.langs, dtype=object)[best], "und")
+        return batch
+
+
+def fingerprint64(tbl: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    """64-bit content fingerprint of whitespace-normalized lowercase text
+    (rolling-hash style via stable string hash of the normalized form)."""
+    norm = pc.utf8_lower(tbl[text_col])
+    norm = pc.replace_substring_regex(norm, pattern=r"\s+", replacement=" ")
+    norm = pc.utf8_trim_whitespace(norm)
+    h = hash_strings(np.asarray(norm.to_pandas(), dtype=object))
+    h = splitmix64(h)
+    return tbl.append_column(out_col, pa.array(h.astype(np.int64)))
