@@ -138,10 +138,17 @@ def quality_score(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 
 def rewrite_alt(arr) -> pa.Array | pa.ChunkedArray:
-    """Deterministic 'rewrite': lowercase, collapse whitespace, trim."""
+    """Deterministic 'rewrite': lowercase, collapse whitespace, trim.
+
+    The collapse/trim passes each copy the whole column; skip them when no
+    row needs them (the common case) — a cheap boolean scan beats two
+    column-sized allocations on a memory-bound node."""
     out = pc.utf8_lower(arr)
-    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
-    return pc.utf8_trim_whitespace(out)
+    needs = pc.match_substring_regex(out, r"(^\s)|(\s\s)|(\s$)")
+    if pc.any(needs).as_py():
+        out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+        out = pc.utf8_trim_whitespace(out)
+    return out
 
 
 def alt_score(arr_or_tokens) -> np.ndarray:

@@ -40,8 +40,8 @@ from .validate import read_violations, run_validation
 _SYNTH_ROOT = "/tmp/teleharvest_synth"
 _OUT_ROOT = "/tmp/teleharvest_out"
 
-_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
-_SF_FILES = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 32}
+_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 2_000_000}
+_SF_FILES = {"sf0.001": 8, "sf0.01": 16, "sf0.1": 128}
 
 
 def synth_transcripts(sf_dir: str) -> str:
@@ -68,7 +68,9 @@ def validate_transcripts(sf_dir: str) -> pd.DataFrame:
     data = synth_transcripts(sf_dir)
     out = os.path.join(_OUT_ROOT, os.path.basename(data))
     shutil.rmtree(out, ignore_errors=True)
-    run_validation(data, out, ValidationConfig())
+    # violations + lineage/metrics are the required outputs; the annotated
+    # row-level copy is an optional materialization (skip it here)
+    run_validation(data, out, ValidationConfig(), write_annotated=False)
     vio = read_violations(out)
     return vio.sort_values(["check_id", "conv_id", "turn_idx"]).reset_index(drop=True)
 

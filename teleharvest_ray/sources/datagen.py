@@ -290,6 +290,14 @@ def generate(out_dir: str, spec: GenSpec | None = None, **kw) -> dict:
     dmask = df["_drift"].to_numpy()
     if spec.drift_files and dmask.any():
         file_id[dmask] = n_norm_files + (h[dmask] % np.uint64(spec.drift_files)).astype(np.int64)
+    if spec.hot_conv:
+        # spread the hot conversation over files in turn-index blocks: one
+        # giant file would be a straggler partition (file-size skew, distinct
+        # from the key skew the salted shuffle defuses). Cross-file convs are
+        # fully supported: sequence partials merge across blocks and the
+        # last-turn ER exemption is batch-local by definition.
+        hmask = (df["conv_id"] == conv_ids[0]).to_numpy()
+        file_id[hmask] = (df["turn_idx"].to_numpy()[hmask].astype(np.int64) // 4096) % n_norm_files
     df["_file"] = file_id
 
     drift_parts = []
