@@ -1,0 +1,98 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+On a real cluster (north_rule: fixed-size multi-node, N and 4N nodes):
+
+    ray job submit --working-dir . -- python -m teleharvest_ray validate \
+        --data /data/transcripts --out /data/validated
+
+Locally the commands own their Ray session (guarded init; the library itself
+never calls ray.init — driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="teleharvest_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the full validation pipeline")
+    v.add_argument("--data", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--no-annotated", action="store_true")
+
+    g = sub.add_parser("gen", help="generate synthetic transcript data")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--clean", action="store_true", help="no planted violations")
+
+    rs = sub.add_parser("refresh-similarity", help="EP2: recompute similarity vs a new profile")
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--profile-from", required=True, help="parquet file to build the profile from")
+
+    rm = sub.add_parser("refresh-metrics", help="EP3: bounded-window metrics re-scan")
+    rm.add_argument("--data", required=True)
+    rm.add_argument("--out", required=True)
+    rm.add_argument("--window", type=int, default=1000)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from teleharvest_ray.sources.datagen import GenSpec, generate
+
+        m = generate(args.out, GenSpec(rows_hint=args.rows, n_files=args.files, seed=args.seed, plant=not args.clean))
+        print(json.dumps(m))
+        return 0
+
+    ray = _ensure_ray()
+    try:
+        from teleharvest_ray.config import ValidationConfig
+
+        cfg = ValidationConfig.from_env()
+        if args.cmd == "validate":
+            from teleharvest_ray.pipelines.validate import run_validation
+
+            s = run_validation(
+                args.data, args.out, cfg, resume=not args.no_resume, write_annotated=not args.no_annotated
+            )
+            print(json.dumps(s, default=str))
+        elif args.cmd == "refresh-similarity":
+            import pyarrow.parquet as pq
+
+            from teleharvest_ray.pipelines.refresh import refresh_similarity
+            from teleharvest_ray.state.profile import build_profile
+
+            prof = build_profile(pq.read_table(args.profile_from, columns=["text", "role", "tool"]), cfg)
+            print(json.dumps(refresh_similarity(args.out, prof)))
+        elif args.cmd == "refresh-metrics":
+            from teleharvest_ray.pipelines.refresh import refresh_metrics
+
+            print(json.dumps(refresh_metrics(args.data, args.out, cfg, window=args.window)))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

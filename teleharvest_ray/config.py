@@ -10,7 +10,8 @@ thresholds, sketch precision).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import os
+from dataclasses import dataclass, field, fields
 
 
 # Default stop-word patterns: substring regexes, like the reference's
@@ -36,6 +37,9 @@ class ValidationConfig:
     # --- target-only knobs (north_rule) ---
     # Salt buckets for the uniqueness hash-shuffle (hot-conversation defuse).
     salt_buckets: int = 64
+    # Above this index size the orphan check swaps the sorted-array broadcast
+    # for a Bloom filter (one-sided error: never falsely flags an orphan).
+    orphan_bloom_threshold: int = 5_000_000
     # Drift thresholds on the *statistics* (not p-values; scipy-free).
     drift_chi2_threshold: float = 0.2  # normalized chi-square / n
     drift_ks_threshold: float = 0.15  # KS ECDF max distance
@@ -52,8 +56,39 @@ class ValidationConfig:
     # Files per resumable wave (checkpoint granularity vs pipeline depth).
     wave_files: int = 64
 
+    # Declaratively disabled checks (the check-registry extension seam,
+    # SURVEY.md §2.9): ids from schema.CHAIN_CHECKS / schema.GLOBAL_CHECKS.
+    disabled_checks: tuple[str, ...] = ()
+
     def stop_words_csv(self) -> str:
         return ",".join(self.stop_words)
+
+    @classmethod
+    def from_env(cls, env: dict | None = None) -> "ValidationConfig":
+        """Build from environment variables using the reference's setting
+        names (``settings.py:8-21``); the comma-split stop-word list mirrors
+        ``settings.py:20-21`` (split asserted by tests/test_settings.py:71-77).
+        Unset variables keep the defaults."""
+        e = os.environ if env is None else env
+        kw = {}
+        for name, key, cast in (
+            ("min_len", "PROCESSOR_MIN_LEN", int),
+            ("min_views", "PROCESSOR_MIN_VIEWS", int),
+            ("min_er", "PROCESSOR_MIN_ER", float),
+            ("min_score", "PROCESSOR_MIN_SCORE", float),
+            ("min_score_alt", "PROCESSOR_MIN_SCORE_ALT", float),
+            ("salt_buckets", "VALIDATOR_SALT_BUCKETS", int),
+            ("wave_files", "VALIDATOR_WAVE_FILES", int),
+        ):
+            if key in e:
+                kw[name] = cast(e[key])
+        if "PROCESSOR_STOP_WORDS" in e:
+            kw["stop_words"] = tuple(w for w in e["PROCESSOR_STOP_WORDS"].split(",") if w)
+        if "VALIDATOR_DISABLED_CHECKS" in e:
+            kw["disabled_checks"] = tuple(w for w in e["VALIDATOR_DISABLED_CHECKS"].split(",") if w)
+        if "PROCESSOR_SCORING_ENABLED" in e:
+            kw["scoring_enabled"] = e["PROCESSOR_SCORING_ENABLED"].lower() not in ("0", "false", "no")
+        return cls(**kw)
 
 
 DEFAULT_CONFIG = ValidationConfig()

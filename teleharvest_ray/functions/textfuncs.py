@@ -89,10 +89,11 @@ class TokenBatch:
     uniq_hash gives a process-stable 64-bit hash per unique token (hashing
     only uniques — the vocabulary — not every token)."""
 
-    __slots__ = ("rows", "codes", "uniq_hash", "n_rows")
+    __slots__ = ("rows", "codes", "uniq_hash", "n_rows", "uniques")
 
-    def __init__(self, rows, codes, uniq_hash, n_rows):
+    def __init__(self, rows, codes, uniq_hash, n_rows, uniques=None):
         self.rows, self.codes, self.uniq_hash, self.n_rows = rows, codes, uniq_hash, n_rows
+        self.uniques = uniques
 
 
 def tokenize(arr) -> TokenBatch:
@@ -115,7 +116,7 @@ def tokenize(arr) -> TokenBatch:
         if len(uniques)
         else np.empty(0, np.uint64)
     )
-    return TokenBatch(rows, codes.astype(np.int64), uniq_hash, n)
+    return TokenBatch(rows, codes.astype(np.int64), uniq_hash, n, uniques=np.asarray(uniques, dtype=object))
 
 
 def normalize_trailing_links(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:

@@ -630,3 +630,210 @@ ORACLE_SQL = {
         GROUP BY c.source
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# batch 2: windows, rollups, word counts (all oracle-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_word_count(sf_dir: str) -> pd.DataFrame:
+    """Classic distributed wordcount with per-batch pre-aggregation: one
+    tokenization per batch, partial counts per word, tiny groupby over
+    partials (the canonical pre-aggregate-before-shuffle shape)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tok = tf.tokenize(tbl["text"])
+        if not len(tok.rows):
+            return pa.table({"w": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())})
+        counts = np.bincount(tok.codes, minlength=len(tok.uniq_hash))
+        return pa.table({"w": pa.array(np.asarray(tok.uniques, dtype=object), pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    out = partials.groupby("w").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = out.sort_values(["n", "w"], ascending=[False, True]).head(20).reset_index(drop=True)
+    return out[["w", "n"]]
+
+
+def q_latest_events(sf_dir: str) -> pd.DataFrame:
+    """Latest-k per entity (O3: the reference's latest-limit fetch,
+    services/telegram_service.py:39): per-batch top-k partials, then exact
+    top-k per user over the (tiny) partial set."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
+    K = 3
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values("event_id", ascending=False).groupby("user_id", sort=False).head(K)
+
+    cands = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    cands = cands.sort_values("event_id", ascending=False)
+    out = cands.groupby("user_id", sort=False).head(K).copy()
+    out["rnk"] = out.groupby("user_id").cumcount() + 1
+    return out.sort_values(["user_id", "rnk"]).reset_index(drop=True)[["user_id", "rnk", "event_id"]]
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session assignment per user (30-min inactivity gap): per-group sorted
+    cumulative logic in map_groups — the stateful-ordered-stream shape the
+    reference's watermark loop embodies (processor.py:59-63)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0) > 1800
+        g["session_id"] = gap.cumsum().astype("int64")
+        return g[["user_id", "event_id", "session_id"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session counts per user derived from q_sessionize (grouped rollup)."""
+    s = q_sessionize(sf_dir)
+    out = s.groupby("user_id", as_index=False)["session_id"].max()
+    out["n_sessions"] = out.pop("session_id") + 1
+    return out
+
+
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+
+    def add_month(tbl: pa.Table) -> pa.Table:
+        m = pc.strftime(tbl["o_orderdate"], format="%Y-%m")
+        return pa.table({"month": m, "o_totalprice": tbl["o_totalprice"]})
+
+    out = (
+        ds.map_batches(add_month, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out.revenue.round(2)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-count per group via two-level groupby (pairs first)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_len_histogram(sf_dir: str) -> pd.DataFrame:
+    """Text-length histogram (the G6 length-histogram stat, oracle-checked)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def bucketize(tbl: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array((np.where(pd.isna(ln), 0, ln) // 50).astype(np.int64))})
+
+    out = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_brand_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Sum("p_size", alias_name="sum_size"),
+        )
+        .to_pandas()
+    )
+    out["min_price"] = out.min_price.round(2)
+    out["max_price"] = out.max_price.round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
+    nation = pq.read_table(_p(sf_dir, "nation")).to_pandas()[["n_nationkey", "n_name"]].rename(
+        columns={"n_nationkey": "s_nationkey"}
+    )
+    ds = rd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"])
+    out = jn.broadcast_join(ds, nation, on="s_nationkey").to_pandas()
+    return out[["s_suppkey", "s_name", "n_name"]].sort_values("s_suppkey").reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "q_word_count": q_word_count,
+        "q_latest_events": q_latest_events,
+        "q_sessionize": q_sessionize,
+        "q_user_sessions": q_user_sessions,
+        "q_orders_by_month": q_orders_by_month,
+        "q_distinct_users_per_type": q_distinct_users_per_type,
+        "q_len_histogram": q_len_histogram,
+        "q_brand_stats": q_brand_stats,
+        "q_supplier_nation": q_supplier_nation,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_word_count": """
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+            GROUP BY w ORDER BY n DESC, w LIMIT 20
+        """,
+        "q_latest_events": """
+            SELECT user_id, rnk, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "q_sessionize": """
+            SELECT user_id, event_id,
+                   SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     COALESCE(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap_s
+              FROM events
+            )
+        """,
+        "q_user_sessions": """
+            SELECT user_id, MAX(session_id) + 1 AS n_sessions FROM (
+              SELECT user_id,
+                     SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM (
+                SELECT user_id, event_id, ts,
+                       COALESCE(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap_s
+                FROM events
+              )
+            ) GROUP BY user_id
+        """,
+        "q_orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "q_distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q_len_histogram": """
+            SELECT length(text) // 50 AS bucket, COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q_brand_stats": """
+            SELECT p_brand, COUNT(*) AS n, ROUND(MIN(p_retailprice), 2) AS min_price,
+                   ROUND(MAX(p_retailprice), 2) AS max_price, SUM(p_size) AS sum_size
+            FROM part GROUP BY p_brand
+        """,
+        "q_supplier_nation": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+    }
+)

@@ -39,8 +39,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..checks import filter_violations
 from ..config import ValidationConfig
-from ..schema import GLOBAL_CHECKS
 from ..stages.keyspace import keyspace_checks
 from ..stages.row_checks import chain_violations, evaluate_chain
 from ..stages.stats import (
@@ -78,7 +78,7 @@ class PartitionValidator:
         ann = evaluate_chain(tbl, self.cfg, self.profile.exemplars)
         vio = chain_violations(ann)
         stats = partition_stats(tbl, self.cfg)
-        findings = drift_check(stats, self.profile, self.cfg)
+        findings = [] if "drift" in self.cfg.disabled_checks else drift_check(stats, self.profile, self.cfg)
         if findings:
             vio = pa.concat_tables(
                 [
@@ -93,6 +93,7 @@ class PartitionValidator:
                     ),
                 ]
             )
+        vio = filter_violations(vio, self.cfg)
         atomic_write_parquet(vio, os.path.join(self.out_dir, "violations", f"{pid}.parquet"))
         if self.write_annotated:
             atomic_write_parquet(ann, os.path.join(self.out_dir, "annotated", f"{pid}.parquet"))
@@ -178,7 +179,7 @@ def run_validation(
             if os.path.exists(conv_index_path)
             else []
         )
-        gvio = keyspace_checks(turns, known, cfg)
+        gvio = filter_violations(keyspace_checks(turns, known, cfg), cfg)
         atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))
         store.write(gkey, {"partition_id": gkey, "n_partitions": len(files), "violations": gvio.num_rows})
         g_violations = gvio.num_rows

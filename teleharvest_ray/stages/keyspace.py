@@ -161,12 +161,19 @@ def keyspace_checks(
         summ["max_t"].to_numpy() != summ["n_distinct"].to_numpy() - 1
     )
     conv_arr = summ["conv_id"].to_numpy(object)
-    index_sorted = np.sort(np.asarray(list(known_conv_ids), dtype=object))
-    if len(index_sorted):
+    index_arr = np.asarray(list(known_conv_ids), dtype=object)
+    if len(index_arr) == 0:
+        orphan_flag = np.ones(len(conv_arr), dtype=bool)
+    elif len(index_arr) > cfg.orphan_bloom_threshold:
+        # at-scale path: Bloom membership (one-sided — flagged ⇒ truly absent)
+        from ..functions.bloom import BloomFilter
+
+        bf = BloomFilter.from_strings(index_arr)
+        orphan_flag = ~bf.contains_strings(conv_arr)
+    else:
+        index_sorted = np.sort(index_arr)
         pos = np.clip(np.searchsorted(index_sorted, conv_arr), 0, len(index_sorted) - 1)
         orphan_flag = index_sorted[pos] != conv_arr
-    else:
-        orphan_flag = np.ones(len(conv_arr), dtype=bool)
     gap_convs = np.sort(conv_arr[gap_flag])
     orphans = conv_arr[orphan_flag]
 

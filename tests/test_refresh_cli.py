@@ -1,0 +1,124 @@
+"""EP2/EP3 refresh pipelines, declarative check disabling, and the CLI."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from teleharvest_ray.config import ValidationConfig
+from teleharvest_ray.pipelines.refresh import refresh_metrics, refresh_similarity
+from teleharvest_ray.pipelines.validate import read_violations, run_validation
+from teleharvest_ray.sources.datagen import GenSpec, generate
+from teleharvest_ray.state.profile import build_profile
+
+
+@pytest.fixture(scope="module")
+def validated(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("refresh_data")
+    o = tmp_path_factory.mktemp("refresh_out")
+    generate(str(d), GenSpec(n_convs=80, n_files=4, seed=31))
+    run_validation(str(d), str(o), ValidationConfig(salt_buckets=8))
+    return str(d), str(o)
+
+
+def test_refresh_similarity_updates_eligible_rows(validated, ray_session):
+    data, out = validated
+    ann_before = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(out + "/annotated/*.parquet"))]
+    )
+    # EP2: rebuild the profile from a DIFFERENT partition (published set
+    # evolved) and refresh
+    files = sorted(glob.glob(data + "/part-*.parquet"))
+    prof2 = build_profile(pq.read_table(files[1], columns=["text", "role", "tool"]))
+    res = refresh_similarity(out, prof2)
+    ann_after = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(out + "/annotated/*.parquet"))]
+    )
+    eligible = ann_before.token_count.notna()
+    assert res["rows_refreshed"] == int(eligible.sum()) > 0
+    # null-state machine preserved: ineligible rows stay null
+    assert ann_after.similarity_score[~eligible.to_numpy()].isna().all()
+    assert ann_after.similarity_score[eligible.to_numpy()].notna().all()
+    # idempotent: refreshing again with the same profile changes nothing
+    res2 = refresh_similarity(out, prof2)
+    ann_again = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(out + "/annotated/*.parquet"))]
+    )
+    assert res2["rows_refreshed"] == res["rows_refreshed"]
+    pd.testing.assert_series_equal(ann_after.similarity_score, ann_again.similarity_score)
+
+
+def test_refresh_metrics_window(validated, ray_session, tmp_path):
+    data, out = validated
+    before = read_violations(out)
+    # idempotent on unchanged data (window covers everything at this size)
+    res = refresh_metrics(data, out, ValidationConfig(), window=10_000)
+    after = read_violations(out)
+    key = lambda df: set(
+        map(tuple, df[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False))
+    )
+    assert key(before) == key(after)
+    assert res["metrics_violations"] > 0
+    # late data arrives: copy one partition, null out reactions of one clean
+    # in-window row -> refresh flags exactly it
+    data2 = str(tmp_path / "late")
+    os.makedirs(data2)
+    import shutil
+
+    for f in glob.glob(data + "/part-*.parquet"):
+        shutil.copy(f, data2)
+    t = pq.read_table(os.path.join(data2, "part-00000.parquet"))
+    df = t.to_pandas()
+    vset = key(before)
+    victim = None
+    for i in range(len(df)):
+        r = df.iloc[i]
+        if pd.notna(r.reactions) and not any(v[0] == r.conv_id and v[1] == r.turn_idx for v in vset):
+            victim = i
+            break
+    df.loc[victim, "reactions"] = pd.NA
+    t2 = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    pq.write_table(t2, os.path.join(data2, "part-00000.parquet"))
+    refresh_metrics(data2, out, ValidationConfig(), window=10_000)
+    after2 = read_violations(out)
+    new = key(after2) - key(after)
+    assert new == {(df.loc[victim, "conv_id"], int(df.loc[victim, "turn_idx"]), "metrics_missing")}
+
+
+def test_disabled_checks(validated, ray_session, tmp_path):
+    data, _ = validated
+    out = str(tmp_path / "disabled_out")
+    cfg = ValidationConfig(salt_buckets=8, disabled_checks=("drift", "low_engagement", "dup_key"))
+    run_validation(data, out, cfg, write_annotated=False)
+    vio = read_violations(out)
+    assert not set(vio.check_id) & {"drift", "low_engagement", "dup_key"}
+    assert {"text_missing", "seq_gap"} <= set(vio.check_id)
+
+
+def test_cli_gen_and_validate(tmp_path):
+    d, o = str(tmp_path / "cli_data"), str(tmp_path / "cli_out")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "teleharvest_ray", "gen", "--out", d, "--rows", "3000", "--files", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["n_rows"] > 2000
+    r2 = subprocess.run(
+        [sys.executable, "-m", "teleharvest_ray", "validate", "--data", d, "--out", o, "--no-annotated"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-800:]
+    s = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s["rows_scanned"] == m["n_rows"]
+    assert os.path.exists(os.path.join(o, "checkpoints", "_global.json"))
