@@ -11,7 +11,7 @@ thresholds, sketch precision).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass
 
 
 # Default stop-word patterns: substring regexes, like the reference's

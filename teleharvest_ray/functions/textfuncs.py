@@ -29,7 +29,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import hash_strings
 
 TRAILING_LINK_RE = r"(?m)\s*\[.*?\]\(https?://[^)]+\)$"
 BOW_DIM = 64
@@ -176,12 +175,6 @@ def token_count(arr_or_tokens) -> np.ndarray:
         tok = arr_or_tokens
         return np.bincount(tok.rows, minlength=tok.n_rows).astype(np.int64)
     return pc.count_substring_regex(arr_or_tokens, pattern=r"\S+").to_numpy(zero_copy_only=False)
-
-
-def _to_object(arr) -> np.ndarray:
-    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        return arr.to_pandas().to_numpy(dtype=object)
-    return np.asarray(arr, dtype=object)
 
 
 def hashed_bow(texts, dim: int = BOW_DIM) -> np.ndarray:

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import ValidationConfig
 from ..functions import textfuncs as tf
@@ -109,16 +109,18 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         batch = batch.assign(revenue=batch.l_extendedprice * (1 - batch.l_discount))
         g = batch.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
             sum_qty=("l_quantity", "sum"),
             sum_revenue=("revenue", "sum"),
             n=("l_quantity", "size"),
         )
-        return g.reset_index()
+        # arrow out: Ray's aggregate over pandas blocks falls off the
+        # vectorized path (measured 12x slower on this box)
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -156,11 +158,16 @@ def q_seq_check(sf_dir: str) -> pd.DataFrame:
     can verify it: gap-free ⟺ min=1 ∧ max=n_distinct."""
     ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pa.Table:
         g = batch.groupby("l_orderkey", sort=False)["l_linenumber"].agg(["size", "min", "max"])
-        return g.reset_index().rename(columns={"size": "n_lines", "min": "min_line", "max": "max_line"})
+        g = g.reset_index().rename(columns={"size": "n_lines", "min": "min_line", "max": "max_line"})
+        return pa.Table.from_pandas(g, preserve_index=False)  # arrow out (vectorized agg path)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    # materialize the (small) combiner output before the wide groupby: the
+    # fused map->sort path degrades ~8x on this box (measured); partials are
+    # orders of magnitude smaller than the data, so pinning them is the
+    # standard combiner pattern, not a full-input materialization
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
     out = (
         partials.groupby("l_orderkey")
         .aggregate(
@@ -186,7 +193,7 @@ def q_event_windows(sf_dir: str) -> pd.DataFrame:
         return pa.table({"user_id": tbl["user_id"], "win": pa.array(win), "value": tbl["value"]})
 
     out = (
-        ds.map_batches(add_win, batch_format="pyarrow")
+        ds.map_batches(add_win, batch_format="pyarrow", batch_size=None)
         .groupby(["user_id", "win"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()
@@ -271,18 +278,18 @@ def q_filter_chain(sf_dir: str) -> pd.DataFrame:
         ff[missing] = "text_missing"
         return pa.table({"doc_id": tbl["doc_id"], "first_failing_check": pa.array(ff, pa.string())})
 
-    return ds.map_batches(verdict, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(verdict, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(lambda t: ta.token_stats(t).drop_columns(["text"]), batch_format="pyarrow")
+    out = ds.map_batches(lambda t: ta.token_stats(t).drop_columns(["text"]), batch_format="pyarrow", batch_size=None)
     return out.to_pandas()
 
 
 def q_quality_counts(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(lambda t: ta.quality_counts(t).drop_columns(["text"]), batch_format="pyarrow")
+    out = ds.map_batches(lambda t: ta.quality_counts(t).drop_columns(["text"]), batch_format="pyarrow", batch_size=None)
     return out.to_pandas()
 
 
@@ -296,7 +303,7 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
 
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ds.map_batches(lambda t: ta.fingerprint64(t).drop_columns(["text"]), batch_format="pyarrow")
+    out = ds.map_batches(lambda t: ta.fingerprint64(t).drop_columns(["text"]), batch_format="pyarrow", batch_size=None)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -310,7 +317,7 @@ def q_props_extract(sf_dir: str) -> pd.DataFrame:
         k = pc.struct_field(m, "k").cast(pa.int64())
         return pa.table({"event_id": tbl["event_id"], "k": k})
 
-    return ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(extract, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 def q_media_meta(sf_dir: str) -> pd.DataFrame:
@@ -323,7 +330,7 @@ def q_media_meta(sf_dir: str) -> pd.DataFrame:
         t = pa.table({"doc_id": tbl["doc_id"], "payload": payload})
         return mm.attach_payload_meta(t, "payload").drop_columns(["payload"])
 
-    return ds.map_batches(meta, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(meta, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -731,7 +738,7 @@ def q_len_histogram(sf_dir: str) -> pd.DataFrame:
         ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False)
         return pa.table({"bucket": pa.array((np.where(pd.isna(ln), 0, ln) // 50).astype(np.int64))})
 
-    out = ds.map_batches(bucketize, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    out = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None).groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
     return out.sort_values("bucket").reset_index(drop=True)
 
 

@@ -32,7 +32,6 @@ import glob
 import os
 import time
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -158,6 +157,12 @@ def run_validation(
             for rec in batch.to_pylist():
                 store.write(rec["partition_id"], rec)
                 new_records.append(rec)
+        # per-stage execution stats (wall/cpu/memory per operator) for tuning
+        try:
+            with open(os.path.join(out_dir, "ray_stats.txt"), "w") as fh:
+                fh.write(result.stats())
+        except Exception:
+            pass
 
     all_records = {**done, **{r["partition_id"]: r for r in new_records}}
 

@@ -78,30 +78,35 @@ def lsh_bucket_topk(
     query_ids: np.ndarray,
     k: int,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 13,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane signature buckets; each corpus
-    batch only scores queries whose signature matches a row's bucket. Same
-    output contract as :func:`topk_cosine` (recall < 1 by design)."""
+    """Approximate top-k: random-hyperplane signature buckets over
+    ``n_tables`` independent tables (union of candidates — the standard LSH
+    recall lever); each corpus batch only scores queries sharing a bucket in
+    at least one table. Same output contract as :func:`topk_cosine`."""
     rng = np.random.default_rng(seed)
     dim = queries.shape[1]
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     qm = _l2(np.asarray(queries, dtype=np.float64))
-    q_sig = ((qm @ planes) > 0).astype(np.uint8)
-    q_sig = (q_sig * (1 << np.arange(n_planes))).sum(1)
+    q_sig = np.stack(
+        [(((qm @ planes[t]) > 0).astype(np.uint8) * (1 << np.arange(n_planes))).sum(1) for t in range(n_tables)]
+    )  # (n_tables, n_q)
     q_ref = ray.put((qm, np.asarray(query_ids), q_sig, planes))
 
     def per_batch(tbl: pa.Table) -> pa.Table:
         q, qids, qsig, pl = ray.get(q_ref)
         vecs = _l2(np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        sig = ((vecs @ pl) > 0).astype(np.uint8)
-        sig = (sig * (1 << np.arange(pl.shape[1]))).sum(1)
+        nt, npl = pl.shape[0], pl.shape[2]
+        sig = np.stack(
+            [(((vecs @ pl[t]) > 0).astype(np.uint8) * (1 << np.arange(npl))).sum(1) for t in range(nt)]
+        )  # (n_tables, n_batch)
         rows_q, rows_id, rows_sim = [], [], []
         for qi in range(len(q)):
-            mask = sig == qsig[qi]
+            mask = (sig == qsig[:, qi][:, None]).any(axis=0)
             if not mask.any():
                 continue
             sims = vecs[mask] @ q[qi]

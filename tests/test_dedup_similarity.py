@@ -1,0 +1,103 @@
+"""Focused tests for the dedup and similarity-search stages on data with
+PLANTED near-duplicates (the generator-oracle pattern applied to dedup)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from teleharvest_ray.stages import dedup as dd
+from teleharvest_ray.stages import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(200)])
+    base = [" ".join(vocab[rng.integers(0, 200, 60)]) for _ in range(120)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # planted near-dups: copy doc 0/1/2 with 3 words changed (high jaccard)
+    for j, src in enumerate((0, 1, 2)):
+        w = base[src].split()
+        for k in range(3):
+            w[10 + k] = f"changed{j}{k}"
+        rows.append({"doc_id": 1000 + j, "text": " ".join(w)})
+    # exact dup of doc 5
+    rows.append({"doc_id": 2000, "text": base[5]})
+    return pd.DataFrame(rows)
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session, docs):
+    ds = rd.from_pandas(docs)
+    cands = dd.minhash_lsh_candidates(ds, "text", "doc_id", n_hashes=64, bands=16)
+    id_to_text = dict(zip(docs.doc_id, docs.text))
+    verified = dd.verify_pairs_jaccard(cands, id_to_text, threshold=0.5)
+    pairs = set(map(tuple, verified[["id_a", "id_b"]].itertuples(index=False)))
+    assert {(0, 1000), (1, 1001), (2, 1002), (5, 2000)} <= pairs
+    # no wild false positives after verification
+    assert len(pairs) < 20
+
+
+def test_simhash_finds_exact_and_near(ray_session, docs):
+    ds = rd.from_pandas(docs)
+    pairs = dd.simhash_candidates(ds, "text", "doc_id")
+    exact = pairs[(pairs.id_a == 5) & (pairs.id_b == 2000)]
+    assert len(exact) == 1 and exact.hamming.iloc[0] == 0
+    near = pairs[(pairs.id_a == 0) & (pairs.id_b == 1000)]
+    assert len(near) == 1 and near.hamming.iloc[0] <= 16
+
+
+def test_exact_text_dedup(ray_session, docs):
+    ds = rd.from_pandas(docs)
+    out = dd.exact_text_dedup(ds, "text", "doc_id").to_pandas()
+    dup_groups = out[out.n_copies > 1]
+    assert len(dup_groups) == 1 and dup_groups.doc_id.iloc[0] == 5
+    assert out.n_copies.sum() == len(docs)
+
+
+def test_topk_exact_vs_bruteforce(ray_session):
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((300, 32))
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    q = vecs[:4]
+    got = sim.topk_cosine(ds, q, np.arange(4), k=5, vec_col="embedding", id_col="vec_id")
+    # numpy brute force oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    nq = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float64)
+    sims = nq @ nv.T
+    for qi in range(4):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        want = set(np.argsort(-s)[:5])
+        have = set(got[got.query_id == qi].vec_id)
+        assert have == want, qi
+
+
+def test_lsh_topk_recall(ray_session):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((500, 32))
+    df = pd.DataFrame({"vec_id": np.arange(500), "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    q = vecs[:8]
+    exact = sim.topk_cosine(ds, q, np.arange(8), k=5)
+    approx = sim.lsh_bucket_topk(ds, q, np.arange(8), k=5, n_planes=4, n_tables=8)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # bucketed ANN trades recall for pruning
+
+
+def test_embedding_near_dup_planted(ray_session):
+    rng = np.random.default_rng(10)
+    vecs = rng.standard_normal((200, 16))
+    vecs[150] = vecs[3] + rng.standard_normal(16) * 0.05  # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    out = dd.embedding_near_dup(ds, "embedding", "vec_id", 0.95, vecs, np.arange(200)).to_pandas()
+    assert (3, 150) in set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))

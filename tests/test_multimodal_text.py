@@ -1,0 +1,92 @@
+"""Multimodal plumbing (stubbed decode, real Ray actor-pool shape) and
+text-analysis stage tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from teleharvest_ray.stages import multimodal as mm
+from teleharvest_ray.stages import text_analysis as ta
+
+
+@pytest.fixture(scope="module")
+def payloads():
+    rng = np.random.default_rng(12)
+    rows = [
+        {"payload_id": i, "payload": rng.integers(0, 256, int(n)).astype(np.uint8).tobytes()}
+        for i, n in enumerate(rng.integers(100, 50_000, 20))
+    ]
+    rows.append({"payload_id": 99, "payload": b""})
+    return pd.DataFrame(rows)
+
+
+def test_decode_pipeline_actor_pool(ray_session, payloads):
+    ds = rd.from_pandas(payloads)
+    out = mm.decode_pipeline(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == len(payloads)
+    assert (out.decoded_w == 64).all() and (out.decoded_h == 64).all()
+    feats = np.stack(out.sort_values("payload_id").features.to_numpy())
+    assert feats.shape == (21, 8)
+    # deterministic: same payload → same features across runs
+    out2 = mm.decode_pipeline(rd.from_pandas(payloads), concurrency=2, batch_size=8).to_pandas()
+    feats2 = np.stack(out2.sort_values("payload_id").features.to_numpy())
+    assert np.allclose(feats, feats2)
+    # empty payload handled
+    assert np.allclose(feats[-1], 0)
+
+
+def test_decode_strict_raises_without_codec(payloads):
+    stage = mm.ImageDecodeStage(strict=True)
+    if not stage.has_codec:
+        with pytest.raises(NotImplementedError):
+            stage(payloads.head(2))
+
+
+def test_frame_sample_plan(payloads):
+    tbl = pa.Table.from_pandas(payloads.head(5), preserve_index=False)
+    plan = mm.frame_sample_plan(tbl, every_n=10).to_pandas()
+    nb = payloads.head(5).payload.str.len().to_numpy()
+    expect = sum(len(range(0, max(int(n) // 1024, 1), 10)) for n in nb)
+    assert len(plan) == expect
+    assert (plan.frame_idx % 10 == 0).all()
+
+
+def test_payload_meta_matches_formula(payloads):
+    tbl = pa.Table.from_pandas(payloads, preserve_index=False)
+    out = mm.attach_payload_meta(tbl, "payload").to_pandas()
+    nb = payloads.payload.str.len().to_numpy()
+    assert (out.n_bytes.to_numpy() == nb).all()
+    assert (out.width.to_numpy() == nb % 640).all()
+    assert (out.height.to_numpy() == (nb // 640) % 480).all()
+
+
+def test_langid_actor(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat and the dog sat in a chair for a while",
+                "der hund und die katze ist nicht ein problem mit zu",
+                "el perro y la casa es una cosa que con por",
+                "zzz qqq www",
+            ],
+        }
+    )
+    out = rd.from_pandas(df).map_batches(ta.LangIdStage, batch_format="pandas", concurrency=1).to_pandas()
+    out = out.sort_values("doc_id")
+    assert list(out.lang_pred) == ["en", "de", "es", "und"]
+
+
+def test_fingerprint_whitespace_case_invariant():
+    t1 = pa.table({"doc_id": [1], "text": ["Hello   World"]})
+    t2 = pa.table({"doc_id": [1], "text": ["hello world"]})
+    f1 = ta.fingerprint64(t1)["fingerprint"].to_pylist()
+    f2 = ta.fingerprint64(t2)["fingerprint"].to_pylist()
+    assert f1 == f2
+    t3 = pa.table({"doc_id": [1], "text": ["different text"]})
+    assert ta.fingerprint64(t3)["fingerprint"].to_pylist() != f1
