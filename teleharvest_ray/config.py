@@ -53,8 +53,6 @@ class ValidationConfig:
 
     # --- execution knobs ---
     batch_size: int = 16384
-    # Files per resumable wave (checkpoint granularity vs pipeline depth).
-    wave_files: int = 64
 
     # Declaratively disabled checks (the check-registry extension seam,
     # SURVEY.md §2.9): ids from schema.CHAIN_CHECKS / schema.GLOBAL_CHECKS.
@@ -78,7 +76,6 @@ class ValidationConfig:
             ("min_score", "PROCESSOR_MIN_SCORE", float),
             ("min_score_alt", "PROCESSOR_MIN_SCORE_ALT", float),
             ("salt_buckets", "VALIDATOR_SALT_BUCKETS", int),
-            ("wave_files", "VALIDATOR_WAVE_FILES", int),
         ):
             if key in e:
                 kw[name] = cast(e[key])

@@ -123,6 +123,22 @@ def normalize_trailing_links(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.C
     return pc.replace_substring_regex(arr, pattern=TRAILING_LINK_RE, replacement="")
 
 
+def parse_score(arr) -> pa.Array:
+    """Lenient string→float parse: strip whitespace and quotes, then cast;
+    anything unparseable becomes null (P14, the evaluation-response parser —
+    reference services/openai_service.py:47-59: strip quotes/whitespace,
+    ``float()``, invalid → None; asserted by tests/test_openai_service.py:57-74)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    cleaned = pc.utf8_trim_whitespace(arr)
+    cleaned = pc.replace_substring_regex(cleaned, pattern=r'^["\x27]+|["\x27]+$', replacement="")
+    cleaned = pc.utf8_trim_whitespace(cleaned)
+    # safe float-pattern gate, then unchecked cast (both vectorized)
+    ok = pc.match_substring_regex(cleaned, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+    gated = pc.if_else(pc.fill_null(ok, False), cleaned, pa.scalar(None, pa.string()))
+    return pc.cast(gated, pa.float64())
+
+
 def utf8_len(arr) -> pa.Array:
     return pc.utf8_length(arr)
 

@@ -844,3 +844,35 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_list_sum(sf_dir: str) -> pd.DataFrame:
+    """List-aggregate scalar at ingest (P15/G4: the reference's per-record
+    reaction-count sum, services/telegram_service.py:41-46, over a native
+    Arrow list column instead of an ORM list)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def agg(tbl: pa.Table) -> pa.Table:
+        col = tbl["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # float64 accumulate in list order to mirror DuckDB's sequential sum
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(col)
+        sums = np.zeros(n)
+        valid = offs[1:] > offs[:-1]
+        if valid.any():
+            m = int(np.searchsorted(offs[:-1], offs[-1], side="left"))
+            if m:
+                sums[:m] = np.add.reduceat(flat[: offs[-1]], offs[:-1][:m])
+            sums[~valid] = 0.0
+        return pa.table({"vec_id": tbl["vec_id"], "vec_sum": pa.array(np.round(sums, 3))})
+
+    return ds.map_batches(agg, batch_format="pyarrow", batch_size=None).to_pandas()
+
+
+QUERIES["q_list_sum"] = q_list_sum
+ORACLE_SQL["q_list_sum"] = """
+    SELECT vec_id, ROUND(list_sum(embedding), 3) AS vec_sum FROM embeddings
+"""

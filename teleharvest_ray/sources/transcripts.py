@@ -1,0 +1,51 @@
+"""Transcript source readers with read-time pruning.
+
+S1 of the operator inventory: the reference fetches messages for a channel in
+an id range ``(min_id, max_id]`` or the latest ``limit`` when no watermark
+exists (``services/telegram_service.py:19-39``). At scale the equivalent is
+pushing both the column list and the row predicate into the Parquet scan so
+only needed columns/row-groups leave storage (SURVEY.md §2.1 S1 mapping).
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..schema import TRANSCRIPT_SCHEMA
+
+CORE_COLUMNS = [f.name for f in TRANSCRIPT_SCHEMA]
+
+
+def read_transcripts(
+    paths,
+    columns: list[str] | None = None,
+    min_turn: int | None = None,
+    max_turn: int | None = None,
+    conv_ids: list[str] | None = None,
+) -> Dataset:
+    """Column-pruned, predicate-pushed transcript read.
+
+    ``min_turn``/``max_turn`` reproduce the watermark-bounded fetch
+    (``telegram_service.py:19-30``: ``(min_id, max_id]``); ``conv_ids``
+    restricts to specific conversations (the per-channel loop analog,
+    ``processor.py:59``). All three push into the Parquet reader as a
+    ``pyarrow.dataset`` expression — row groups whose statistics exclude the
+    range never leave disk.
+    """
+    expr = None
+
+    def conj(e):
+        nonlocal expr
+        expr = e if expr is None else expr & e
+
+    if min_turn is not None:
+        conj(pads.field("turn_idx") > pc.scalar(min_turn))
+    if max_turn is not None:
+        conj(pads.field("turn_idx") <= pc.scalar(max_turn))
+    if conv_ids is not None:
+        conj(pads.field("conv_id").isin(conv_ids))
+    return rd.read_parquet(paths, columns=columns, filter=expr)

@@ -144,20 +144,32 @@ def minhash_lsh_candidates(
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    # The banded table is n_docs x bands tiny rows. Below the threshold the
+    # bucket-join happens driver-side (vectorized pandas over the collected
+    # partials — Ray's many-small-groups map_groups pays per-group Python
+    # overhead); above it, hash-partition on (band, bh) with the same
+    # bucket_pairs body per partition (cluster-scale path).
+    bdf = banded.to_pandas()
+    return _pairs_from_buckets(bdf, ["band", "bh"], id_col)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        ids = np.sort(np.unique(g[id_col].to_numpy()))[:2000]  # cap degenerate buckets
-        if len(ids) < 2:
-            return empty
+
+def _pairs_from_buckets(bdf: pd.DataFrame, bucket_cols: list[str], id_col: str) -> pd.DataFrame:
+    """All intra-bucket id pairs, vectorized: sort by bucket, keep buckets
+    with >=2 members, emit triangular pairs per bucket."""
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+    if not len(bdf):
+        return empty
+    bdf = bdf.drop_duplicates(bucket_cols + [id_col]).sort_values(bucket_cols + [id_col])
+    sizes = bdf.groupby(bucket_cols, sort=False)[id_col].transform("size")
+    multi = bdf[sizes > 1]
+    if not len(multi):
+        return empty
+    frames = []
+    for _, g in multi.groupby(bucket_cols, sort=False):
+        ids = g[id_col].to_numpy()[:2000]  # cap degenerate buckets
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
-
-    pairs = banded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if not len(pdf):
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-    return pdf.drop_duplicates().reset_index(drop=True)
+        frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
+    return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
 
 
 def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -235,26 +247,27 @@ def simhash_candidates(ds: Dataset, text_col: str, id_col: str, chunks: int = 4)
         )
 
     chunked = ds.map_batches(to_chunks, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
-        )
-        g = g.drop_duplicates(id_col).sort_values(id_col).head(2000)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return empty
+    # same small-partials collection pattern as minhash (see note there)
+    cdf = chunked.to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+    )
+    if not len(cdf):
+        return empty
+    cdf = cdf.drop_duplicates(["chunk", "ch", id_col]).sort_values(["chunk", "ch", id_col])
+    sizes = cdf.groupby(["chunk", "ch"], sort=False)[id_col].transform("size")
+    multi = cdf[sizes > 1]
+    frames = []
+    for _, g in multi.groupby(["chunk", "ch"], sort=False):
+        ids = g[id_col].to_numpy()[:2000]
+        sh = g["simhash"].to_numpy()[:2000]
         ii, jj = np.triu_indices(len(ids), k=1)
         x = (sh[ii].astype(np.int64) ^ sh[jj].astype(np.int64)).view(np.uint64)
-        ham = np.array([bin(v).count("1") for v in x])
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "hamming": ham})
-
-    pairs = chunked.groupby(["chunk", "ch"]).map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if not len(pdf):
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-    return pdf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+        ham = np.array([bin(v).count("1") for v in x]) if len(x) else np.array([], dtype=np.int64)
+        frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "hamming": ham}))
+    if not frames:
+        return empty
+    return pd.concat(frames, ignore_index=True).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,23 @@ def test_quality_score_plants():
     bad = "#@!$%^&*() " * 20
     s = tf.quality_score(pa.array([good, bad], pa.string()))
     assert s[0] > 80 and s[1] <= 80
+
+
+def test_parse_score_reference_parity():
+    # reference services/openai_service.py:47-59: strip whitespace/quotes,
+    # float(), invalid -> None (tests/test_openai_service.py:57-74)
+    from teleharvest_ray.functions.textfuncs import parse_score
+
+    cases = [' 85 ', '"92"', "'77.5'", 'not a number', '', None, '1e2', '-3.5', '..5']
+    got = parse_score(pa.array(cases, pa.string())).to_pylist()
+
+    def ref(s):
+        if s is None:
+            return None
+        t = s.strip().strip('"\'').strip()
+        try:
+            return float(t)
+        except ValueError:
+            return None
+
+    assert got == [ref(c) for c in cases]
