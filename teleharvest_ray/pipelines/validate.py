@@ -73,11 +73,33 @@ class PartitionValidator:
 
     def _one(self, path: str, pid: str) -> dict:
         t0 = time.perf_counter()
-        tbl = pq.read_table(path)
-        ann = evaluate_chain(tbl, self.cfg, self.profile.exemplars)
-        vio = chain_violations(ann)
-        stats = partition_stats(tbl, self.cfg)
-        findings = [] if "drift" in self.cfg.disabled_checks else drift_check(stats, self.profile, self.cfg)
+        # stream the partition ROW-GROUP-wise: peak actor memory is bounded by
+        # row-group size, not file size (a 1 GB file never materializes whole).
+        # Chain semantics are per-fetched-batch by definition (the last-turn ER
+        # exemption recasts the reference's per-batch flag, processor.py:76-77)
+        # and the stats sketches merge associatively, so group-wise == whole.
+        pf = pq.ParquetFile(path)
+        ann_parts, vio_parts, stats = [], [], None
+        for rg in range(pf.num_row_groups):
+            tbl_g = pf.read_row_group(rg)
+            ann_g = evaluate_chain(tbl_g, self.cfg, self.profile.exemplars)
+            ann_parts.append(ann_g)
+            vio_parts.append(chain_violations(ann_g))
+            s = partition_stats(tbl_g, self.cfg)
+            stats = s if stats is None else merge_stats(stats, s)
+        if stats is None:  # zero row groups
+            empty = pq.read_table(path)
+            ann_parts = [evaluate_chain(empty, self.cfg, self.profile.exemplars)]
+            vio_parts = [chain_violations(ann_parts[0])]
+            stats = partition_stats(empty, self.cfg)
+        ann = pa.concat_tables(ann_parts)
+        vio = pa.concat_tables(vio_parts)
+        tbl = ann  # row count source
+        findings = (
+            []
+            if ("drift" in self.cfg.disabled_checks or stats["n_rows"] == 0)
+            else drift_check(stats, self.profile, self.cfg)
+        )
         if findings:
             vio = pa.concat_tables(
                 [

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): sketch merge laws and chain invariants
+hold for arbitrary inputs, not just the planted fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from teleharvest_ray.config import ValidationConfig
+from teleharvest_ray.functions.sketches import HistogramSketch, HyperLogLog, KLLSketch
+from teleharvest_ray.functions.textfuncs import alt_score, quality_score, tokenize
+from teleharvest_ray.stages.row_checks import chain_violations, evaluate_chain
+
+ints = st.lists(st.integers(0, 10_000), min_size=0, max_size=400)
+
+
+@given(a=ints, b=ints)
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_is_union(a, b):
+    ha, hb, hu = HyperLogLog(p=12), HyperLogLog(p=12), HyperLogLog(p=12)
+    ha.update_ints(np.array(a, dtype=np.int64))
+    hb.update_ints(np.array(b, dtype=np.int64))
+    hu.update_ints(np.array(a + b, dtype=np.int64))
+    merged = HyperLogLog.from_bytes(ha.to_bytes()).merge(hb)
+    assert (merged.registers == hu.registers).all()  # bit-identical, order-free
+
+
+@given(a=ints, b=ints)
+@settings(max_examples=40, deadline=None)
+def test_histogram_merge_is_concat(a, b):
+    ha, hb, hu = HistogramSketch(8, 1024), HistogramSketch(8, 1024), HistogramSketch(8, 1024)
+    ha.update(np.array(a)); hb.update(np.array(b)); hu.update(np.array(a + b))
+    m = HistogramSketch.from_bytes(ha.to_bytes()).merge(hb)
+    assert (m.counts == hu.counts).all() and m.total == hu.total
+    assert m.vmin == hu.vmin and m.vmax == hu.vmax and m.vsum == hu.vsum
+
+
+@given(vals=st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=500), q=st.floats(0.01, 0.99))
+@settings(max_examples=30, deadline=None)
+def test_kll_quantile_within_rank_error(vals, q):
+    s = KLLSketch(k=100)
+    s.update(np.array(vals))
+    est = s.quantile(q)
+    arr = np.sort(vals)
+    # rank of the estimate must be within eps*n of target rank (KLL guarantee
+    # shape; generous eps for the small-k deterministic variant)
+    rank = np.searchsorted(arr, est, side="right")
+    assert abs(rank - q * len(arr)) <= max(4.5, 0.2 * len(arr))
+
+
+texts = st.lists(
+    st.one_of(st.none(), st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=80)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(t=texts)
+@settings(max_examples=40, deadline=None)
+def test_chain_invariants_arbitrary_text(t):
+    n = len(t)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{i%5}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(t, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(np.arange(n), pa.timestamp("us")),
+        }
+    )
+    ann = evaluate_chain(tbl, ValidationConfig())
+    df = ann.to_pandas()
+    # 1. every row either passes or has a first failing check from the chain
+    allowed = {None, "text_missing", "conv_id_missing", "text_too_short", "stop_word",
+               "low_engagement", "low_score", "low_score_alt"}
+    assert set(df.first_failing_check.where(df.first_failing_check.notna(), None)) <= allowed
+    # 2. null-state machine: failing early ⇒ all downstream scoring columns null
+    early = df[df.first_failing_check.isin(["text_missing", "conv_id_missing", "text_too_short", "stop_word"])]
+    for c in ("score", "alt", "score_alt", "token_count", "similarity_score"):
+        assert early[c].isna().all()
+    # 3. violations align with first_failing_check rows one-to-one
+    vio = chain_violations(ann).to_pandas()
+    chain_vio = vio[vio.check_id != "metrics_missing"]
+    assert len(chain_vio) == int(df.first_failing_check.notna().sum())
+    # 4. a passing row has score > 80 (threshold semantics)
+    ok = df[df.first_failing_check.isna() & df.score.notna()]
+    assert (ok.score > 80).all()
+
+
+@given(t=texts)
+@settings(max_examples=30, deadline=None)
+def test_token_features_consistent(t):
+    arr = pa.array(t, pa.string())
+    tok = tokenize(arr)
+    counts = np.bincount(tok.rows, minlength=tok.n_rows)
+    py_counts = np.array([len(x.split()) if x else 0 for x in t])
+    assert (counts == py_counts).all()
+    s = alt_score(arr)
+    assert ((s >= 0) & (s <= 100)).all()
+    qs = quality_score(arr)
+    assert ((qs >= 0) & (qs <= 100)).all()

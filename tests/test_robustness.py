@@ -1,0 +1,65 @@
+"""Robustness: core-six-column-only inputs, empty partitions, big-file
+row-group streaming."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from teleharvest_ray.config import ValidationConfig
+from teleharvest_ray.pipelines.validate import read_violations, run_validation
+from teleharvest_ray.schema import TRANSCRIPT_SCHEMA
+from teleharvest_ray.sources.datagen import GenSpec, generate
+
+
+def test_core_six_columns_only(ray_session, tmp_path):
+    """input_hint schema has exactly six columns; the engine must degrade
+    gracefully (no ER / metrics checks) without the metric columns."""
+    d, o = str(tmp_path / "core6"), str(tmp_path / "core6_out")
+    generate(d, GenSpec(n_convs=60, n_files=3, seed=13))
+    core = [f.name for f in TRANSCRIPT_SCHEMA]
+    for f in glob.glob(d + "/part-*.parquet"):
+        pq.write_table(pq.read_table(f, columns=core), f)
+    s = run_validation(d, o, ValidationConfig(salt_buckets=8), write_annotated=False)
+    vio = read_violations(o)
+    # metric-dependent checks silently skip; text/key checks still fire
+    assert not set(vio.check_id) & {"low_engagement", "metrics_missing"}
+    assert {"text_missing", "text_too_short", "dup_key", "seq_gap"} <= set(vio.check_id)
+    assert s["rows_scanned"] > 0
+
+
+def test_empty_partition(ray_session, tmp_path):
+    d, o = str(tmp_path / "withempty"), str(tmp_path / "withempty_out")
+    generate(d, GenSpec(n_convs=40, n_files=2, seed=17, drift_files=0, plant=False))
+    # add an empty partition file with the full schema
+    first = pq.read_table(sorted(glob.glob(d + "/part-*.parquet"))[0])
+    pq.write_table(first.slice(0, 0), os.path.join(d, "part-00099.parquet"))
+    s = run_validation(d, o, ValidationConfig(salt_buckets=8), write_annotated=False)
+    vio = read_violations(o)
+    # empty partition: no violations (in particular no spurious drift), passes
+    assert len(vio) == 0
+    assert "part-00099" not in s["partitions_failed"]
+    rec = [p for p in s["partitions_failed"]]
+    assert s["rows_scanned"] == first.num_rows + pq.read_table(sorted(glob.glob(d + "/part-*.parquet"))[1]).num_rows
+
+
+def test_multi_row_group_file(ray_session, tmp_path):
+    """A partition written as many small row groups streams group-wise and
+    produces the same stats/violations as single-group processing."""
+    d, o = str(tmp_path / "rg"), str(tmp_path / "rg_out")
+    generate(d, GenSpec(n_convs=50, n_files=1, seed=19, drift_files=0, plant=False))
+    f = sorted(glob.glob(d + "/part-*.parquet"))[0]
+    tbl = pq.read_table(f)
+    pq.write_table(tbl, f, row_group_size=97)  # force ~10 row groups
+    assert pq.ParquetFile(f).num_row_groups > 5
+    s = run_validation(d, o, ValidationConfig(salt_buckets=8), write_annotated=True)
+    assert s["rows_scanned"] == tbl.num_rows
+    ann = pq.read_table(os.path.join(o, "annotated", "part-00000.parquet"))
+    assert ann.num_rows == tbl.num_rows
+    # clean data → all rows pass except batch-boundary ER effects (none: clean)
+    assert len(read_violations(o)) == 0
