@@ -876,3 +876,67 @@ QUERIES["q_list_sum"] = q_list_sum
 ORACLE_SQL["q_list_sum"] = """
     SELECT vec_id, ROUND(list_sum(embedding), 3) AS vec_sum FROM embeddings
 """
+
+
+def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multi-join aggregate (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem,
+    dimension side broadcast, fact side pre-aggregated per batch before the
+    final groupby — the canonical star-schema plan."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
+    # small side: orderkey -> segment map, broadcast once
+    seg = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[["o_orderkey", "c_mktsegment"]]
+    import ray as _ray
+
+    seg_ref = _ray.put(dict(zip(seg.o_orderkey, seg.c_mktsegment)))
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        m = _ray.get(seg_ref)
+        batch = batch.assign(
+            c_mktsegment=batch.l_orderkey.map(m),
+            revenue=batch.l_extendedprice * (1 - batch.l_discount),
+        )
+        g = batch.groupby("c_mktsegment", sort=False)["revenue"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out.revenue.round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_nation_order_stats(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation broadcast join, then grouped order rollup per nation."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = jn.broadcast_join(orders, cn.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out.total.round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+QUERIES["q_segment_revenue"] = q_segment_revenue
+QUERIES["q_nation_order_stats"] = q_nation_order_stats
+ORACLE_SQL["q_segment_revenue"] = """
+    SELECT c_mktsegment, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+"""
+ORACLE_SQL["q_nation_order_stats"] = """
+    SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
