@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import glob
 import os
+import pickle
 import time
+import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -40,7 +42,12 @@ import ray.data as rd
 
 from ..checks import filter_violations
 from ..config import ValidationConfig
-from ..stages.keyspace import keyspace_checks
+from ..stages.keyspace import (
+    keyspace_checks,
+    keyspace_from_states,
+    merge_conv_partials,
+    prep_state,
+)
 from ..stages.row_checks import chain_violations, evaluate_chain
 from ..stages.stats import (
     drift_check,
@@ -80,6 +87,7 @@ class PartitionValidator:
         # and the stats sketches merge associatively, so group-wise == whole.
         pf = pq.ParquetFile(path)
         ann_parts, vio_parts, stats = [], [], None
+        ks_blobs, ks_convs = [], []
         for rg in range(pf.num_row_groups):
             tbl_g = pf.read_row_group(rg)
             ann_g = evaluate_chain(tbl_g, self.cfg, self.profile.exemplars)
@@ -87,11 +95,19 @@ class PartitionValidator:
             vio_parts.append(chain_violations(ann_g))
             s = partition_stats(tbl_g, self.cfg)
             stats = s if stats is None else merge_stats(stats, s)
+            ks = prep_state(tbl_g)
+            ks_blobs.append(ks["blob"])
+            ks_convs.append(ks["conv"])
         if stats is None:  # zero row groups
             empty = pq.read_table(path)
             ann_parts = [evaluate_chain(empty, self.cfg, self.profile.exemplars)]
             vio_parts = [chain_violations(ann_parts[0])]
             stats = partition_stats(empty, self.cfg)
+        # key-space state piggybacks on this (only) scan of the partition so
+        # phase 2 never re-reads validated data (SURVEY §4 shuffle-minimization)
+        keyspace_state = zlib.compress(
+            pickle.dumps({"blob": b"".join(ks_blobs), "conv": merge_conv_partials(ks_convs)}, protocol=4), 1
+        )
         ann = pa.concat_tables(ann_parts)
         vio = pa.concat_tables(vio_parts)
         tbl = ann  # row count source
@@ -124,6 +140,7 @@ class PartitionValidator:
             "violations": vio.num_rows,
             "pass": vio.num_rows == 0,
             "sketch_state": stats_to_bytes(stats),
+            "keyspace_state": keyspace_state,
             "input_file": path,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
@@ -195,7 +212,9 @@ def run_validation(
         s = stats_from_bytes(rec["sketch_state"])
         merged = s if merged is None else merge_stats(merged, s)
 
-    # Phase 2: key-space checks over the full dataset (pruned columns)
+    # Phase 2: key-space checks — assembled from the per-partition states the
+    # validators embedded in their lineage records (no second scan of the
+    # data; only candidate verification re-reads pruned columns)
     gkey = "_global"
     grec = store.read(gkey) if resume else None
     if grec is None or grec.get("n_partitions") != len(files):
@@ -206,7 +225,18 @@ def run_validation(
             if os.path.exists(conv_index_path)
             else []
         )
-        gvio = filter_violations(keyspace_checks(turns, known, cfg), cfg)
+        states = [
+            pickle.loads(zlib.decompress(all_records[pid]["keyspace_state"]))
+            for pid in pids
+            if all_records[pid].get("keyspace_state")
+        ]
+        if len(states) == len(pids):
+            blobs = [s["blob"] for s in states]
+            summ = merge_conv_partials([s["conv"] for s in states])
+            gvio = keyspace_from_states(blobs, summ, turns, known, cfg)
+        else:  # records from an older run without embedded state: full scan
+            gvio = keyspace_checks(turns, known, cfg)
+        gvio = filter_violations(gvio, cfg)
         atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))
         store.write(gkey, {"partition_id": gkey, "n_partitions": len(files), "violations": gvio.num_rows})
         g_violations = gvio.num_rows

@@ -53,6 +53,41 @@ from ..functions.hashing import hash_key
 VIOLATION_COLS = ["conv_id", "turn_idx", "check_id", "detail"]
 
 
+def prep_state(tbl: pa.Table) -> dict:
+    """Per-batch key-space state: packed key-hash blob + per-conv partial
+    sequence stats. Mergeable across batches/partitions (blobs concatenate;
+    conv partials re-aggregate). This is what the partition validator embeds
+    in its lineage record so phase 2 needs NO second scan of the data."""
+    conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
+    turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+    ok = pd.notna(conv) & (conv != "")
+    conv, turn = conv[ok], turn[ok]
+    if len(conv) == 0:
+        return {"blob": b"", "conv": pd.DataFrame(columns=["conv_id", "n_distinct", "min_t", "max_t", "n_rows"])}
+    hashes = hash_key(conv, turn)
+    df = pd.DataFrame({"conv_id": conv, "turn_idx": turn})
+    c = df.groupby("conv_id", sort=False)["turn_idx"].agg(["nunique", "min", "max", "size"]).reset_index()
+    c.columns = ["conv_id", "n_distinct", "min_t", "max_t", "n_rows"]
+    return {"blob": hashes.tobytes(), "conv": c}
+
+
+def merge_conv_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Merge per-batch conv partials into per-conv summaries. n_distinct sums
+    can overcount when a duplicated key spans batches — callers verify
+    flagged conversations exactly, so overcounts cost a lookup, never a
+    violation."""
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=["conv_id", "n_distinct", "min_t", "max_t", "n_rows"])
+    allp = pd.concat(frames, ignore_index=True)
+    return allp.groupby("conv_id", sort=False).agg(
+        n_distinct=("n_distinct", "sum"),
+        min_t=("min_t", "min"),
+        max_t=("max_t", "max"),
+        n_rows=("n_rows", "sum"),
+    ).reset_index()
+
+
 def _prep_batch(tbl: pa.Table) -> pa.Table:
     """Per-block pre-aggregation: packed key-hash blob + per-conv partials."""
     conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
@@ -137,19 +172,15 @@ def keyspace_checks(
     known_conv_ids,
     cfg: ValidationConfig | None = None,
 ) -> pa.Table:
-    """Run all three key-space checks; returns violations as a pyarrow Table
-    (the anomaly set — collectable by design)."""
+    """Run all three key-space checks standalone (one state-building scan +
+    the candidate verification scan); returns violations as a pyarrow Table
+    (the anomaly set — collectable by design). When per-partition states are
+    already available from the validation phase's lineage records, use
+    :func:`keyspace_from_states` and skip the first scan entirely."""
     cfg = cfg or ValidationConfig()
     prep = turns.map_batches(_prep_batch, batch_format="pyarrow", batch_size=None).materialize()
     pdf = prep.to_pandas()  # small: one blob row per block + conv partials
-
-    # --- dup candidates from packed hashes ---
     blobs = pdf[pdf["kind"] == "blob"]["blob"].tolist()
-    n_keys = int(pdf[pdf["kind"] == "blob"]["n_rows"].sum())
-    n_ranges = 1 if n_keys < 20_000_000 else max(2, min(64, n_keys // 10_000_000))
-    dup_hashes = np.sort(find_dup_hashes(blobs, n_ranges))
-
-    # --- per-conv summaries (merge block partials) ---
     convs = pdf[pdf["kind"] == "conv"]
     summ = convs.groupby("conv_id", sort=False).agg(
         n_distinct=("n_distinct", "sum"),
@@ -157,6 +188,26 @@ def keyspace_checks(
         max_t=("max_t", "max"),
         n_rows=("n_rows", "sum"),
     ).reset_index()
+    return keyspace_from_states(blobs, summ, turns, known_conv_ids, cfg)
+
+
+def keyspace_from_states(
+    blobs: list[bytes],
+    summ: pd.DataFrame,
+    turns: Dataset,
+    known_conv_ids,
+    cfg: ValidationConfig | None = None,
+) -> pa.Table:
+    """Key-space checks from pre-computed per-partition states (the blobs +
+    merged per-conv summaries produced by :func:`prep_state` /
+    :func:`merge_conv_partials`). Only the exact verification of candidates
+    touches the data again."""
+    cfg = cfg or ValidationConfig()
+    # --- dup candidates from packed hashes ---
+    n_keys = sum(len(b) // 8 for b in blobs if b)
+    n_ranges = 1 if n_keys < 20_000_000 else max(2, min(64, n_keys // 10_000_000))
+    dup_hashes = np.sort(find_dup_hashes(blobs, n_ranges))
+
     gap_flag = (summ["min_t"].to_numpy() != 0) | (
         summ["max_t"].to_numpy() != summ["n_distinct"].to_numpy() - 1
     )

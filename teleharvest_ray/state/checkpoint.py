@@ -28,10 +28,13 @@ class CheckpointStore:
         return os.path.join(self.root, f"{partition_id}.json")
 
     def write(self, partition_id: str, record: dict) -> None:
-        """Atomic write: a record is either fully present or absent."""
-        if "sketch_state" in record and isinstance(record["sketch_state"], bytes):
-            record = dict(record)
-            record["sketch_state"] = base64.b64encode(record["sketch_state"]).decode()
+        """Atomic write: a record is either fully present or absent. Binary
+        fields (sketch/keyspace states) are b64-wrapped transparently."""
+        record = dict(record)
+        b64_keys = [k for k, v in record.items() if isinstance(v, bytes)]
+        for k in b64_keys:
+            record[k] = base64.b64encode(record[k]).decode()
+        record["_b64_keys"] = b64_keys
         tmp = self.record_path(partition_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(record, f)
@@ -43,8 +46,9 @@ class CheckpointStore:
             return None
         with open(p) as f:
             rec = json.load(f)
-        if rec.get("sketch_state"):
-            rec["sketch_state"] = base64.b64decode(rec["sketch_state"])
+        for k in rec.pop("_b64_keys", ["sketch_state"] if rec.get("sketch_state") else []):
+            if rec.get(k) is not None:
+                rec[k] = base64.b64decode(rec[k])
         return rec
 
     def completed(self) -> dict[str, dict]:
