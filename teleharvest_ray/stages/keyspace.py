@@ -40,6 +40,8 @@ Rows with missing ``conv_id`` are excluded here: they are already flagged
 
 from __future__ import annotations
 
+import pickle
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -73,9 +75,10 @@ def prep_state(tbl: pa.Table) -> dict:
 
 def merge_conv_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
     """Merge per-batch conv partials into per-conv summaries. n_distinct sums
-    can overcount when a duplicated key spans batches — callers verify
-    flagged conversations exactly, so overcounts cost a lookup, never a
-    violation."""
+    can overcount when a duplicated key spans batches — overcounts either
+    create false gap CANDIDATES (verified exactly, cost: a lookup) or can
+    mask a real gap (nd_sum coincidentally equals max+1), which is why
+    keyspace_from_states ALSO exact-checks every verified-dup conversation."""
     frames = [f for f in frames if len(f)]
     if not frames:
         return pd.DataFrame(columns=["conv_id", "n_distinct", "min_t", "max_t", "n_rows"])
@@ -88,46 +91,41 @@ def merge_conv_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
     ).reset_index()
 
 
-def _prep_batch(tbl: pa.Table) -> pa.Table:
-    """Per-block pre-aggregation: packed key-hash blob + per-conv partials."""
-    conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
-    turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
-    ok = pd.notna(conv) & (conv != "")
-    conv, turn = conv[ok], turn[ok]
-    n = len(conv)
-    if n == 0:
-        return _empty_prep()
-    hashes = hash_key(conv, turn)
-    df = pd.DataFrame({"conv_id": conv, "turn_idx": turn})
-    c = df.groupby("conv_id", sort=False)["turn_idx"].agg(["nunique", "min", "max", "size"]).reset_index()
-    nc = len(c)
-    return pa.table(
-        {
-            "kind": pa.array(["blob"] + ["conv"] * nc),
-            "conv_id": pa.array(np.concatenate([[""], c["conv_id"].to_numpy(object)]), pa.string()),
-            "n_distinct": pa.array(
-                np.concatenate([[0], c["nunique"].to_numpy()]).astype(np.int64)
-            ),
-            "min_t": pa.array(np.concatenate([[0], c["min"].to_numpy()]).astype(np.int32)),
-            "max_t": pa.array(np.concatenate([[0], c["max"].to_numpy()]).astype(np.int32)),
-            "n_rows": pa.array(np.concatenate([[n], c["size"].to_numpy()]).astype(np.int64)),
-            "blob": pa.array([hashes.tobytes()] + [None] * nc, pa.binary()),
-        }
-    )
+def _exact_gaps(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact first-missing-index per conversation over (conv_id, turn_idx)
+    rows; conversations that turn out gap-free emit nothing."""
+    rows = []
+    for conv, g in df.groupby("conv_id"):
+        u = np.unique(g["turn_idx"].to_numpy())
+        if not len(u):
+            continue
+        missing = np.setdiff1d(np.arange(u.max() + 1), u, assume_unique=True)
+        if len(missing):
+            rows.append((conv, int(missing[0]), "seq_gap", f"missing={len(missing)}"))
+    return pd.DataFrame(rows, columns=VIOLATION_COLS)
 
 
-def _empty_prep() -> pa.Table:
-    return pa.table(
-        {
-            "kind": pa.nulls(0, pa.string()),
-            "conv_id": pa.nulls(0, pa.string()),
-            "n_distinct": pa.nulls(0, pa.int64()),
-            "min_t": pa.nulls(0, pa.int32()),
-            "max_t": pa.nulls(0, pa.int32()),
-            "n_rows": pa.nulls(0, pa.int64()),
-            "blob": pa.nulls(0, pa.binary()),
-        }
-    )
+def _scan_convs(turns: Dataset, convs_sorted: np.ndarray) -> pd.DataFrame:
+    """Collect (conv_id, turn_idx) rows of specific conversations —
+    broadcast-membership filter, vectorized searchsorted per batch."""
+    ref = ray.put(convs_sorted)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
+        ok = pd.notna(conv) & (conv != "")
+        p = np.clip(np.searchsorted(cs, conv), 0, len(cs) - 1)
+        keep = (cs[p] == conv) & ok
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep], pa.string()),
+                "turn_idx": pa.array(
+                    tbl["turn_idx"].to_numpy(zero_copy_only=False)[keep].astype(np.int32)
+                ),
+            }
+        )
+
+    return turns.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
 @ray.remote
@@ -178,16 +176,19 @@ def keyspace_checks(
     already available from the validation phase's lineage records, use
     :func:`keyspace_from_states` and skip the first scan entirely."""
     cfg = cfg or ValidationConfig()
-    prep = turns.map_batches(_prep_batch, batch_format="pyarrow", batch_size=None).materialize()
-    pdf = prep.to_pandas()  # small: one blob row per block + conv partials
-    blobs = pdf[pdf["kind"] == "blob"]["blob"].tolist()
-    convs = pdf[pdf["kind"] == "conv"]
-    summ = convs.groupby("conv_id", sort=False).agg(
-        n_distinct=("n_distinct", "sum"),
-        min_t=("min_t", "min"),
-        max_t=("max_t", "max"),
-        n_rows=("n_rows", "sum"),
-    ).reset_index()
+
+    def to_state_row(tbl: pa.Table) -> pa.Table:
+        st = prep_state(tbl)
+        return pa.table(
+            {
+                "blob": pa.array([st["blob"]], pa.binary()),
+                "conv_pkl": pa.array([pickle.dumps(st["conv"], protocol=4)], pa.binary()),
+            }
+        )
+
+    rows = turns.map_batches(to_state_row, batch_format="pyarrow", batch_size=None).to_pandas()
+    blobs = [b for b in rows["blob"] if b]
+    summ = merge_conv_partials([pickle.loads(p) for p in rows["conv_pkl"]])
     return keyspace_from_states(blobs, summ, turns, known_conv_ids, cfg)
 
 
@@ -264,6 +265,7 @@ def keyspace_from_states(
 
         small = turns.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
 
+        dup_convs = np.empty(0, dtype=object)
         if len(dup_hashes):
             h = hash_key(small["conv_id"].to_numpy(object), small["turn_idx"].to_numpy())
             p = np.clip(np.searchsorted(dup_hashes, h), 0, max(len(dup_hashes) - 1, 0))
@@ -281,17 +283,19 @@ def keyspace_from_states(
                         }
                     )
                 )
+                dup_convs = np.unique(dups["conv_id"].to_numpy(object))
         if len(gap_convs):
             sub = small[np.isin(small["conv_id"].to_numpy(object), gap_convs)]
-            rows = []
-            for conv, g in sub.groupby("conv_id"):
-                u = np.unique(g["turn_idx"].to_numpy())
-                missing = np.setdiff1d(np.arange(u.max() + 1), u, assume_unique=True)
-                if len(missing):  # overcount-only candidates come out clean
-                    rows.append((conv, int(missing[0]), "seq_gap", f"missing={len(missing)}"))
-            if rows:
-                out_frames.append(pd.DataFrame(rows, columns=VIOLATION_COLS))
+            out_frames.append(_exact_gaps(sub))
+        # a duplicated key spanning batches inflates the summed n_distinct and
+        # can mask a REAL gap in the same conversation (nd_sum == max+1 by
+        # coincidence) — every verified-dup conversation not already flagged
+        # gets an exact sequence check of its own (anomaly-sized second scan)
+        extra = np.setdiff1d(dup_convs, gap_convs)
+        if len(extra):
+            out_frames.append(_exact_gaps(_scan_convs(turns, np.sort(extra))))
 
+    out_frames = [f for f in out_frames if len(f)]
     if out_frames:
         pdf_out = pd.concat(out_frames, ignore_index=True)
     else:

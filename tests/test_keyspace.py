@@ -38,3 +38,31 @@ def test_keyspace_matches_manifest(ray_session, dataset):
     # dup detail carries the multiplicity
     dups = vio[vio.check_id == "dup_key"]
     assert dups.detail.str.startswith("count=").all()
+
+
+def test_dup_across_batches_cannot_mask_gap(ray_session, tmp_path):
+    """Regression: turns {0,1,3} plus a cross-file duplicate of turn 1 make
+    the summed per-batch distinct count equal max+1 — the gap at 2 must STILL
+    be found (verified-dup conversations get their own exact sequence check)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    d = tmp_path / "mask"
+    d.mkdir()
+
+    def write(name, rows):
+        conv, turn = zip(*rows)
+        pq.write_table(
+            pa.table({"conv_id": pa.array(conv, pa.string()), "turn_idx": pa.array(turn, pa.int32())}),
+            str(d / name),
+        )
+
+    write("part-00000.parquet", [("cA", 0), ("cA", 1), ("cA", 3), ("cB", 0), ("cB", 1)])
+    write("part-00001.parquet", [("cA", 1), ("cC", 0)])  # cross-file dup of (cA,1)
+    turns = rd.read_parquet([str(d / "part-00000.parquet"), str(d / "part-00001.parquet")])
+    vio = keyspace_checks(turns, ["cA", "cB", "cC"], ValidationConfig(salt_buckets=4)).to_pandas()
+    got = set(map(tuple, vio[["conv_id", "turn_idx", "check_id"]].itertuples(index=False)))
+    assert ("cA", 1, "dup_key") in got
+    assert ("cA", 2, "seq_gap") in got  # the masked gap
+    assert not any(v[0] in ("cB", "cC") for v in got)
