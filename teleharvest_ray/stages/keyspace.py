@@ -55,6 +55,23 @@ from ..functions.hashing import hash_key
 VIOLATION_COLS = ["conv_id", "turn_idx", "check_id", "detail"]
 
 
+def _member_mask(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a sorted array, null-safe:
+    nulls are non-members (object arrays with None would break searchsorted's
+    comparisons otherwise)."""
+    out = np.zeros(len(values), dtype=bool)
+    if len(sorted_arr) == 0 or len(values) == 0:
+        return out
+    if values.dtype == object:
+        ok = pd.notna(values)
+    else:
+        ok = np.ones(len(values), dtype=bool)
+    vals = values[ok]
+    pos = np.clip(np.searchsorted(sorted_arr, vals), 0, len(sorted_arr) - 1)
+    out[ok] = sorted_arr[pos] == vals
+    return out
+
+
 def prep_state(tbl: pa.Table) -> dict:
     """Per-batch key-space state: packed key-hash blob + per-conv partial
     sequence stats. Mergeable across batches/partitions (blobs concatenate;
@@ -93,15 +110,24 @@ def merge_conv_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
 
 def _exact_gaps(df: pd.DataFrame) -> pd.DataFrame:
     """Exact first-missing-index per conversation over (conv_id, turn_idx)
-    rows; conversations that turn out gap-free emit nothing."""
+    rows; conversations that turn out gap-free emit nothing. Works on the
+    sorted-unique turn array only — never allocates a dense 0..max range, so
+    a corrupt huge turn_idx costs nothing extra."""
     rows = []
     for conv, g in df.groupby("conv_id"):
         u = np.unique(g["turn_idx"].to_numpy())
         if not len(u):
             continue
-        missing = np.setdiff1d(np.arange(u.max() + 1), u, assume_unique=True)
-        if len(missing):
-            rows.append((conv, int(missing[0]), "seq_gap", f"missing={len(missing)}"))
+        if u[0] < 0:  # corrupt index: not a 0..n sequence by definition
+            rows.append((conv, int(u[0]), "seq_gap", "negative turn_idx"))
+            continue
+        n_missing = int(u[-1]) + 1 - len(u)
+        if n_missing:
+            # first position where the sorted-unique sequence departs from
+            # 0,1,2,... IS the first missing index
+            mism = np.flatnonzero(u != np.arange(len(u)))
+            first = int(mism[0]) if len(mism) else len(u)
+            rows.append((conv, first, "seq_gap", f"missing={n_missing}"))
     return pd.DataFrame(rows, columns=VIOLATION_COLS)
 
 
@@ -113,9 +139,7 @@ def _scan_convs(turns: Dataset, convs_sorted: np.ndarray) -> pd.DataFrame:
     def pick(tbl: pa.Table) -> pa.Table:
         cs = ray.get(ref)
         conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
-        ok = pd.notna(conv) & (conv != "")
-        p = np.clip(np.searchsorted(cs, conv), 0, len(cs) - 1)
-        keep = (cs[p] == conv) & ok
+        keep = _member_mask(cs, conv) & (conv != "")
         return pa.table(
             {
                 "conv_id": pa.array(conv[keep], pa.string()),
@@ -223,9 +247,7 @@ def keyspace_from_states(
         bf = BloomFilter.from_strings(index_arr)
         orphan_flag = ~bf.contains_strings(conv_arr)
     else:
-        index_sorted = np.sort(index_arr)
-        pos = np.clip(np.searchsorted(index_sorted, conv_arr), 0, len(index_sorted) - 1)
-        orphan_flag = index_sorted[pos] != conv_arr
+        orphan_flag = ~_member_mask(np.sort(index_arr), conv_arr)
     gap_convs = np.sort(conv_arr[gap_flag])
     orphans = conv_arr[orphan_flag]
 
@@ -251,11 +273,9 @@ def keyspace_from_states(
             keep = np.zeros(len(conv), dtype=bool)
             if len(dh):
                 h = hash_key(conv, np.where(pd.isna(turn), -1, turn))
-                p = np.clip(np.searchsorted(dh, h), 0, len(dh) - 1)
-                keep |= (dh[p] == h) & ok
+                keep |= _member_mask(dh, h) & ok
             if len(gc):
-                p = np.clip(np.searchsorted(gc, conv), 0, len(gc) - 1)
-                keep |= (gc[p] == conv) & ok
+                keep |= _member_mask(gc, conv) & ok
             return pa.table(
                 {
                     "conv_id": pa.array(conv[keep], pa.string()),
@@ -268,8 +288,7 @@ def keyspace_from_states(
         dup_convs = np.empty(0, dtype=object)
         if len(dup_hashes):
             h = hash_key(small["conv_id"].to_numpy(object), small["turn_idx"].to_numpy())
-            p = np.clip(np.searchsorted(dup_hashes, h), 0, max(len(dup_hashes) - 1, 0))
-            cand = small[dup_hashes[p] == h]
+            cand = small[_member_mask(dup_hashes, h)]
             per_key = cand.groupby(["conv_id", "turn_idx"], sort=False).size().reset_index(name="cnt")
             dups = per_key[per_key["cnt"] > 1]  # exact: hash collisions drop out here
             if len(dups):

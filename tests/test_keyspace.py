@@ -60,7 +60,10 @@ def test_dup_across_batches_cannot_mask_gap(ray_session, tmp_path):
 
     write("part-00000.parquet", [("cA", 0), ("cA", 1), ("cA", 3), ("cB", 0), ("cB", 1)])
     write("part-00001.parquet", [("cA", 1), ("cC", 0)])  # cross-file dup of (cA,1)
-    turns = rd.read_parquet([str(d / "part-00000.parquet"), str(d / "part-00001.parquet")])
+    # pin one block per file so the duplicate truly spans batches
+    turns = rd.read_parquet(
+        [str(d / "part-00000.parquet"), str(d / "part-00001.parquet")], override_num_blocks=2
+    )
     vio = keyspace_checks(turns, ["cA", "cB", "cC"], ValidationConfig(salt_buckets=4)).to_pandas()
     got = set(map(tuple, vio[["conv_id", "turn_idx", "check_id"]].itertuples(index=False)))
     assert ("cA", 1, "dup_key") in got
