@@ -160,7 +160,9 @@ def rewrite_alt(arr) -> pa.Array | pa.ChunkedArray:
     row needs them (the common case) — a cheap boolean scan beats two
     column-sized allocations on a memory-bound node."""
     out = pc.utf8_lower(arr)
-    needs = pc.match_substring_regex(out, r"(^\s)|(\s\s)|(\s$)")
+    # gate must cover every case the collapse/trim pair would change: leading/
+    # trailing space, doubled whitespace, or ANY non-space whitespace char
+    needs = pc.match_substring_regex(out, r"[\t\n\f\r]|(\s\s)|(^\s)|(\s$)")
     if pc.any(needs).as_py():
         out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
         out = pc.utf8_trim_whitespace(out)

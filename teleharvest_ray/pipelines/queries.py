@@ -177,7 +177,10 @@ def q_seq_check(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    # linenumbers are unique per order in this schema, so n_distinct == n_lines
+    # NB: this is the NECESSARY condition min=1 ∧ max=count(*) — duplicates can
+    # mask gaps here (the fixtures do contain duplicate (orderkey, linenumber)
+    # pairs), exactly matching the oracle's formula; the dup-aware EXACT
+    # sequence check lives in the transcript engine (stages/keyspace.py)
     out["gap_free"] = (out.min_line == 1) & (out.max_line == out.n_lines)
     return out
 

@@ -169,6 +169,10 @@ def refresh_metrics(
 ) -> dict:
     """Bounded-window metrics re-scan over every validated partition."""
     cfg = cfg or ValidationConfig()
+    if "metrics_missing" in cfg.disabled_checks:
+        # the emission-boundary contract (checks.py): a disabled check emits
+        # nothing, including from refresh passes
+        return {"partitions": 0, "window_rows": 0, "metrics_violations": 0, "disabled": True}
     files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
     pids = [os.path.splitext(os.path.basename(f))[0] for f in files]
     if not pids:

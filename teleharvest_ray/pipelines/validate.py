@@ -86,11 +86,24 @@ class PartitionValidator:
         # exemption recasts the reference's per-batch flag, processor.py:76-77)
         # and the stats sketches merge associatively, so group-wise == whole.
         pf = pq.ParquetFile(path)
+        # file-local per-conv max turn for the last-turn ER exemption: a cheap
+        # two-column read keeps the exemption file-scoped even though the text
+        # columns stream row-group-wise
+        conv_last = None
+        try:
+            kt = pq.read_table(path, columns=["conv_id", "turn_idx"])
+            cl_conv = kt["conv_id"].to_pandas()
+            cl_turn = kt["turn_idx"].to_numpy(zero_copy_only=False)
+            import pandas as _pd
+
+            conv_last = _pd.Series(cl_turn).groupby(cl_conv.to_numpy()).max().to_dict()
+        except Exception:
+            pass
         ann_parts, vio_parts, stats = [], [], None
         ks_blobs, ks_convs = [], []
         for rg in range(pf.num_row_groups):
             tbl_g = pf.read_row_group(rg)
-            ann_g = evaluate_chain(tbl_g, self.cfg, self.profile.exemplars)
+            ann_g = evaluate_chain(tbl_g, self.cfg, self.profile.exemplars, conv_last=conv_last)
             ann_parts.append(ann_g)
             vio_parts.append(chain_violations(ann_g))
             s = partition_stats(tbl_g, self.cfg)
@@ -217,7 +230,17 @@ def run_validation(
     # data; only candidate verification re-reads pruned columns)
     gkey = "_global"
     grec = store.read(gkey) if resume else None
-    if grec is None or grec.get("n_partitions") != len(files):
+    # staleness is keyed on a digest over WHICH partitions were validated and
+    # their content (keyspace-state bytes), not just the partition count — a
+    # replaced same-count partition set must recompute the global checks
+    import hashlib as _hashlib
+
+    dig = _hashlib.sha256()
+    for pid in pids:
+        dig.update(pid.encode())
+        dig.update(_hashlib.sha256(all_records[pid].get("keyspace_state") or b"").digest())
+    global_digest = dig.hexdigest()
+    if grec is None or grec.get("digest") != global_digest:
         turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
         conv_index_path = os.path.join(data_dir, "conversations.parquet")
         known = (
@@ -238,7 +261,10 @@ def run_validation(
             gvio = keyspace_checks(turns, known, cfg)
         gvio = filter_violations(gvio, cfg)
         atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))
-        store.write(gkey, {"partition_id": gkey, "n_partitions": len(files), "violations": gvio.num_rows})
+        store.write(
+            gkey,
+            {"partition_id": gkey, "n_partitions": len(files), "digest": global_digest, "violations": gvio.num_rows},
+        )
         g_violations = gvio.num_rows
     else:
         g_violations = grec["violations"]

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions.arrays import member_mask
 from ..functions.hashing import hash_strings, splitmix64
 
 
@@ -91,11 +92,7 @@ def anti_join_keys(big: Dataset, keys: np.ndarray, on: str, anti: bool = True) -
     def per_batch(tbl: pa.Table) -> pa.Table:
         k = ray.get(ref)
         vals = tbl[on].to_numpy(zero_copy_only=False)
-        if len(k):
-            pos = np.clip(np.searchsorted(k, vals), 0, len(k) - 1)
-            member = k[pos] == vals
-        else:
-            member = np.zeros(len(vals), dtype=bool)
+        member = member_mask(k, vals)
         keep = ~member if anti else member
         return tbl.filter(pa.array(keep))
 

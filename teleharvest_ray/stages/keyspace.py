@@ -50,26 +50,11 @@ import ray
 from ray.data import Dataset
 
 from ..config import ValidationConfig
+from ..functions.arrays import member_mask
 from ..functions.hashing import hash_key
 
 VIOLATION_COLS = ["conv_id", "turn_idx", "check_id", "detail"]
-
-
-def _member_mask(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
-    """Vectorized membership of ``values`` in a sorted array, null-safe:
-    nulls are non-members (object arrays with None would break searchsorted's
-    comparisons otherwise)."""
-    out = np.zeros(len(values), dtype=bool)
-    if len(sorted_arr) == 0 or len(values) == 0:
-        return out
-    if values.dtype == object:
-        ok = pd.notna(values)
-    else:
-        ok = np.ones(len(values), dtype=bool)
-    vals = values[ok]
-    pos = np.clip(np.searchsorted(sorted_arr, vals), 0, len(sorted_arr) - 1)
-    out[ok] = sorted_arr[pos] == vals
-    return out
+_member_mask = member_mask
 
 
 def prep_state(tbl: pa.Table) -> dict:
@@ -79,6 +64,7 @@ def prep_state(tbl: pa.Table) -> dict:
     in its lineage record so phase 2 needs NO second scan of the data."""
     conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
     turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+    turn = np.where(pd.isna(turn), -1, turn).astype(np.int64)  # null → -1 sentinel
     ok = pd.notna(conv) & (conv != "")
     conv, turn = conv[ok], turn[ok]
     if len(conv) == 0:
@@ -140,12 +126,12 @@ def _scan_convs(turns: Dataset, convs_sorted: np.ndarray) -> pd.DataFrame:
         cs = ray.get(ref)
         conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
         keep = _member_mask(cs, conv) & (conv != "")
+        turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+        turn = np.where(pd.isna(turn), -1, turn).astype(np.int32)
         return pa.table(
             {
                 "conv_id": pa.array(conv[keep], pa.string()),
-                "turn_idx": pa.array(
-                    tbl["turn_idx"].to_numpy(zero_copy_only=False)[keep].astype(np.int32)
-                ),
+                "turn_idx": pa.array(turn[keep]),
             }
         )
 
@@ -153,15 +139,17 @@ def _scan_convs(turns: Dataset, convs_sorted: np.ndarray) -> pd.DataFrame:
 
 
 @ray.remote
-def _range_dups(blob_refs: list, lo: int, hi: int) -> np.ndarray:
-    """Merge task for one hash range [lo, hi): gathers its slice of every
-    sorted blob, finds values occurring more than once."""
+def _range_dups(blob_refs: list, lo: int, hi: int | None) -> np.ndarray:
+    """Merge task for one hash range [lo, hi) — ``hi=None`` means to the end
+    of uint64 space (2**64 is not representable as uint64; casting it through
+    linspace silently became 0 and dropped the whole top range)."""
     parts = []
     for ref in blob_refs:
         arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if not isinstance(arr, np.ndarray):
             arr = np.frombuffer(arr, dtype=np.uint64)
-        a, b = np.searchsorted(arr, lo), np.searchsorted(arr, hi)
+        a = np.searchsorted(arr, np.uint64(lo))
+        b = len(arr) if hi is None else np.searchsorted(arr, np.uint64(hi))
         parts.append(arr[a:b])
     merged = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     dup_mask = np.zeros(len(merged), dtype=bool)
@@ -184,8 +172,9 @@ def find_dup_hashes(blobs: list[bytes], n_ranges: int = 1) -> np.ndarray:
         dup_mask[1:] = merged[1:] == merged[:-1]
         return np.unique(merged[dup_mask])
     refs = [ray.put(a) for a in arrays]
-    bounds = np.linspace(0, 2**64, n_ranges + 1).astype(np.uint64)
-    futs = [_range_dups.remote(refs, int(bounds[i]), int(bounds[i + 1])) for i in range(n_ranges)]
+    step = (1 << 64) // n_ranges  # exact python-int bounds; last range open-ended
+    bounds = [i * step for i in range(n_ranges)] + [None]
+    futs = [_range_dups.remote(refs, bounds[i], bounds[i + 1]) for i in range(n_ranges)]
     return np.concatenate(ray.get(futs)) if futs else np.empty(0, np.uint64)
 
 
@@ -239,7 +228,9 @@ def keyspace_from_states(
     conv_arr = summ["conv_id"].to_numpy(object)
     index_arr = np.asarray(list(known_conv_ids), dtype=object)
     if len(index_arr) == 0:
-        orphan_flag = np.ones(len(conv_arr), dtype=bool)
+        # no referential side at all → the check is not applicable (an absent
+        # conversations index must not mark every conversation orphaned)
+        orphan_flag = np.zeros(len(conv_arr), dtype=bool)
     elif len(index_arr) > cfg.orphan_bloom_threshold:
         # at-scale path: Bloom membership (one-sided — flagged ⇒ truly absent)
         from ..functions.bloom import BloomFilter
@@ -269,10 +260,11 @@ def keyspace_from_states(
             gc = ray.get(gap_ref)
             conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
             turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+            turn = np.where(pd.isna(turn), -1, turn).astype(np.int64)  # match prep_state's sentinel
             ok = pd.notna(conv) & (conv != "")
             keep = np.zeros(len(conv), dtype=bool)
             if len(dh):
-                h = hash_key(conv, np.where(pd.isna(turn), -1, turn))
+                h = hash_key(conv, turn)
                 keep |= _member_mask(dh, h) & ok
             if len(gc):
                 keep |= _member_mask(gc, conv) & ok

@@ -57,6 +57,7 @@ def evaluate_chain(
     tbl: pa.Table,
     cfg: ValidationConfig,
     exemplars: np.ndarray | None = None,
+    conv_last: dict | None = None,
 ) -> pa.Table:
     """Annotate a batch with chain columns; returns the input columns plus
     text_norm, er, score, alt, score_alt, token_count, similarity_score,
@@ -76,7 +77,6 @@ def evaluate_chain(
     f_conv = pc.or_kleene(pc.is_null(conv), pc.equal(conv, "")).to_numpy(zero_copy_only=False)
     f_conv = np.asarray(f_conv, dtype=object) == True  # noqa: E712
 
-    alive = ~(f_text | (~f_text & f_conv))  # rows still in the chain
     reached_norm = ~f_text & ~f_conv
 
     # P3 normalize (only meaningful for rows that reached it)
@@ -115,10 +115,16 @@ def evaluate_chain(
         with np.errstate(invalid="ignore", divide="ignore"):
             er_all = np.where(views > 0, (reac + fwd) / np.maximum(views, 1), 0.0)
         er = np.where(complete, er_all, np.nan)
-        # batch-local last-turn exemption (reference processor.py:76-77,116-119)
+        # last-turn exemption (reference processor.py:76-77,116-119): the
+        # "fetched batch" scope is the partition FILE; callers streaming a
+        # file in row groups pass conv_last (per-conv max over the whole
+        # file) so the exemption stays file-local regardless of chunking
         conv_pd = pd.Series(np.asarray(conv.to_pandas(), dtype=object))
         turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
-        conv_max = pd.Series(turn).groupby(conv_pd.to_numpy()).transform("max").to_numpy()
+        if conv_last is not None:
+            conv_max = conv_pd.map(conv_last).to_numpy(dtype=np.float64, na_value=np.nan)
+        else:
+            conv_max = pd.Series(turn).groupby(conv_pd.to_numpy()).transform("max").to_numpy()
         is_last = turn == conv_max
         f_er = (
             reached_er

@@ -69,3 +69,20 @@ def test_dup_across_batches_cannot_mask_gap(ray_session, tmp_path):
     assert ("cA", 1, "dup_key") in got
     assert ("cA", 2, "seq_gap") in got  # the masked gap
     assert not any(v[0] in ("cB", "cC") for v in got)
+
+
+def test_range_partitioned_dup_merge_covers_top_range(ray_session):
+    """Regression: the hash-range merge must include the top of uint64 space
+    (a 2**64 bound cast through uint64 silently became 0)."""
+    import numpy as np
+
+    from teleharvest_ray.stages.keyspace import find_dup_hashes
+
+    top = np.uint64((1 << 64) - 100)
+    low = np.uint64(12345)
+    a = np.sort(np.array([low, top, np.uint64(7)], dtype=np.uint64))
+    b = np.sort(np.array([low, top], dtype=np.uint64))
+    dups_local = find_dup_hashes([a.tobytes(), b.tobytes()], n_ranges=1)
+    dups_ranged = find_dup_hashes([a.tobytes(), b.tobytes()], n_ranges=4)
+    assert set(dups_local.tolist()) == {int(low), int(top)}
+    assert set(np.sort(dups_ranged).tolist()) == {int(low), int(top)}

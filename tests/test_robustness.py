@@ -63,3 +63,35 @@ def test_multi_row_group_file(ray_session, tmp_path):
     assert ann.num_rows == tbl.num_rows
     # clean data → all rows pass except batch-boundary ER effects (none: clean)
     assert len(read_violations(o)) == 0
+
+
+def test_er_exemption_is_file_local_across_row_groups(ray_session, tmp_path):
+    """A low-ER interior row that is the last row of its ROW GROUP but not of
+    the file must still be flagged (the exemption is file-scoped)."""
+    d, o = str(tmp_path / "rg_er"), str(tmp_path / "rg_er_out")
+    os.makedirs(d)
+    base = " ".join(f"tok{i}" for i in range(50))
+    n = 6
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * n, pa.string()),
+            "turn_idx": pa.array(list(range(n)), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([base] * n),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(list(range(n)), pa.timestamp("us")),
+            "views": pa.array([5000] * n, pa.int64()),
+            "reactions": pa.array([1] * n, pa.int64()),
+            "forwards": pa.array([0] * n, pa.int64()),
+        }
+    )
+    # row groups of 3: row 2 (turn_idx=2) is last-of-group but interior in file
+    pq.write_table(tbl, os.path.join(d, "part-00000.parquet"), row_group_size=3)
+    assert pq.ParquetFile(os.path.join(d, "part-00000.parquet")).num_row_groups == 2
+    cfg = ValidationConfig(salt_buckets=4, drift_chi2_threshold=1e9, drift_ks_threshold=1e9,
+                           drift_quantile_rel_threshold=1e9)
+    run_validation(d, o, cfg, write_annotated=False)
+    vio = read_violations(o)
+    low_er = vio[vio.check_id == "low_engagement"]
+    # rows 0..4 flagged (all low ER at volume), row 5 (file-local last) exempt
+    assert set(low_er.turn_idx) == {0, 1, 2, 3, 4}
