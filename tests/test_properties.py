@@ -103,3 +103,53 @@ def test_token_features_consistent(t):
     assert ((s >= 0) & (s <= 100)).all()
     qs = quality_score(arr)
     assert ((qs >= 0) & (qs <= 100)).all()
+
+
+@st.composite
+def _keyspace_case(draw):
+    n_convs = draw(st.integers(1, 6))
+    convs = {}
+    for i in range(n_convs):
+        # arbitrary turn multisets: dups, gaps, offsets all possible
+        turns = draw(st.lists(st.integers(0, 12), min_size=1, max_size=10))
+        convs[f"c{i}"] = turns
+    known = draw(st.lists(st.sampled_from(sorted(convs)), unique=True))
+    n_blocks = draw(st.integers(1, 3))
+    return convs, known, n_blocks
+
+
+@given(case=_keyspace_case())
+@settings(max_examples=15, deadline=None)
+def test_keyspace_matches_bruteforce_oracle(ray_session, case):
+    """The candidates-then-verify keyspace engine must equal a brute-force
+    oracle for ANY turn multiset split across ANY number of blocks (this is
+    the property the masked-gap bug violated)."""
+    import ray.data as rd
+
+    convs, known, n_blocks = case
+    rows = [(c, t) for c, ts in convs.items() for t in ts]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    ds = rd.from_pandas(df).repartition(n_blocks)
+
+    from teleharvest_ray.config import ValidationConfig
+    from teleharvest_ray.stages.keyspace import keyspace_checks
+
+    got = keyspace_checks(ds, known, ValidationConfig(salt_buckets=4)).to_pandas()
+    got_set = set(map(tuple, got[["conv_id", "turn_idx", "check_id"]].itertuples(index=False)))
+
+    want = set()
+    from collections import Counter
+
+    key_counts = Counter(rows)
+    for (c, t), n in key_counts.items():
+        if n > 1:
+            want.add((c, t, "dup_key"))
+    for c, ts in convs.items():
+        u = sorted(set(ts))
+        if u[0] != 0 or u[-1] != len(u) - 1:
+            first = next(i for i in range(len(u) + 1) if i >= len(u) or u[i] != i)
+            want.add((c, first, "seq_gap"))
+        if known and c not in known:
+            want.add((c, -1, "orphan_conv"))
+    assert got_set == want, (sorted(got_set - want), sorted(want - got_set))
