@@ -182,6 +182,9 @@ def q_seq_check(sf_dir: str) -> pd.DataFrame:
     # pairs), exactly matching the oracle's formula; the dup-aware EXACT
     # sequence check lives in the transcript engine (stages/keyspace.py)
     out["gap_free"] = (out.min_line == 1) & (out.max_line == out.n_lines)
+    # l_linenumber is int32 on disk; match the oracle's MIN/MAX output width
+    out["min_line"] = out.min_line.astype("int32")
+    out["max_line"] = out.max_line.astype("int32")
     return out
 
 
@@ -217,7 +220,7 @@ def q_column_stats(sf_dir: str) -> pd.DataFrame:
         Max("l_shipdate", alias_name="max_ship"),
     )
     n_orders = len(ds.unique("l_orderkey"))
-    return pd.DataFrame(
+    out = pd.DataFrame(
         [
             {
                 "n_rows": agg["n_rows"],
@@ -229,6 +232,10 @@ def q_column_stats(sf_dir: str) -> pd.DataFrame:
             }
         ]
     )
+    # parquet timestamps are microsecond; DuckDB surfaces datetime64[us]
+    out["min_ship"] = out.min_ship.astype("datetime64[us]")
+    out["max_ship"] = out.max_ship.astype("datetime64[us]")
+    return out
 
 
 def q_hll_accuracy(sf_dir: str) -> pd.DataFrame:
@@ -801,9 +808,9 @@ ORACLE_SQL.update(
         """,
         "q_sessionize": """
             SELECT user_id, event_id,
-                   SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (
               SELECT user_id, event_id, ts,
                      COALESCE(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap_s
@@ -811,7 +818,7 @@ ORACLE_SQL.update(
             )
         """,
         "q_user_sessions": """
-            SELECT user_id, MAX(session_id) + 1 AS n_sessions FROM (
+            SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions FROM (
               SELECT user_id,
                      SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -838,7 +845,8 @@ ORACLE_SQL.update(
         """,
         "q_brand_stats": """
             SELECT p_brand, COUNT(*) AS n, ROUND(MIN(p_retailprice), 2) AS min_price,
-                   ROUND(MAX(p_retailprice), 2) AS max_price, SUM(p_size) AS sum_size
+                   ROUND(MAX(p_retailprice), 2) AS max_price,
+                   CAST(SUM(p_size) AS BIGINT) AS sum_size
             FROM part GROUP BY p_brand
         """,
         "q_supplier_nation": """

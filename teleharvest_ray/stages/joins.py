@@ -46,6 +46,17 @@ def broadcast_join(
     return big.map_batches(per_batch, batch_format="pandas")
 
 
+def _pandas_dtypes(ds: Dataset) -> dict:
+    """Per-column pandas dtypes a dataset's Arrow schema converts to (via an
+    empty table, so no data moves)."""
+    sch = ds.schema()
+    try:
+        empty = pa.schema(zip(sch.names, sch.types)).empty_table().to_pandas()
+        return {c: empty[c].dtype for c in empty.columns}
+    except Exception:  # pandas-block schema (no Arrow types): no restore map
+        return {}
+
+
 def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
@@ -57,10 +68,21 @@ def bucketed_hash_join(
 
     The two sides have different schemas, so each batch is reindexed to the
     union column set (missing side's columns = NA) before the union — Ray
-    blocks must share one schema across the unioned stream."""
+    blocks must share one schema across the unioned stream. The reindex
+    promotes the other side's int columns to float (NaN fill); ``join_bucket``
+    restores each side's original dtypes after splitting, so join output
+    dtypes match the inputs (a left row's own columns are never NA-filled)."""
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    ldtypes = _pandas_dtypes(left)
+    rdtypes = _pandas_dtypes(right)
+    out_cols = lcols + [(c if c not in lcols else c + "_r") for c in rcols if c != on]
+    out_dtypes = dict(ldtypes)
+    for c in rcols:
+        if c == on:
+            continue
+        out_dtypes[c if c not in lcols else c + "_r"] = rdtypes.get(c, np.dtype("O"))
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -75,10 +97,24 @@ def bucketed_hash_join(
     rt = right.map_batches(tag("r"), batch_format="pandas")
     both = lt.union(rt)
 
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        for c, dt in dtypes.items():
+            if c in df.columns and df[c].dtype != dt:
+                try:
+                    df[c] = df[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass  # genuine NA in a non-nullable dtype: keep promoted
+        return df
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][lcols]
-        r = g[g["__side"] == "r"][rcols]
-        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        if not len(g):  # schema-complete empty (never a zero-column frame)
+            return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
+        l = _restore(g[g["__side"] == "l"][lcols].copy(), ldtypes)
+        r = _restore(g[g["__side"] == "r"][rcols].copy(), rdtypes)
+        out = l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        if not len(out):
+            return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
+        return out
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
