@@ -364,8 +364,12 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     (rows-only: fixed-seed hashing not SQL-expressible)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     cands = dd.minhash_lsh_candidates(ds, "text", "doc_id")
-    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"]).to_pandas()
-    id_to_text = dict(zip(docs.doc_id, docs.text))
+    if not len(cands):
+        return cands.assign(jaccard=pd.Series(dtype="float64"))
+    # candidate-sized text retrieval (one pruned membership scan), never a
+    # corpus-sized id→text dict
+    texts = dd.gather_texts(ds, "doc_id", "text", np.concatenate([cands.id_a.to_numpy(), cands.id_b.to_numpy()]))
+    id_to_text = dict(zip(texts.doc_id, texts.text))
     out = dd.verify_pairs_jaccard(cands, id_to_text, threshold=0.4)
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -11,11 +11,15 @@ toolkit a 100 TB training-data pipeline needs. All hashes are process-stable
 Scale notes:
 - exact dedup / key dedup: native groupby aggregate (hash-shuffled by Ray).
 - MinHash/SimHash: signatures computed per batch (one explode + segmented
-  min/add — no per-row loop); candidates via groupby on (band, band_hash) —
-  the shuffle carries only (doc_id, band, hash), never text.
-- verification joins candidate pairs back to text via a broadcast id→text
-  lookup when the candidate set is small (typical); at larger scale re-join
-  by bucketed hash join on doc_id.
+  min/add — no per-row loop); candidate pairing is DISTRIBUTED: the banded
+  table hash-partitions on (band, band_hash) via ONE groupby shuffle that
+  carries only (doc_id, band, hash) — never text, never a driver collection
+  of the banded table — and each partition emits its intra-bucket pairs with
+  a vectorized triangular generator. Only the candidate PAIR set (the
+  anomaly set) reaches the driver.
+- verification re-reads only the candidate ids' texts via a broadcast
+  membership filter over a pruned scan (:func:`gather_texts`) — the id→text
+  map it builds is candidate-sized, not corpus-sized.
 """
 
 from __future__ import annotations
@@ -117,9 +121,12 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    n_parts: int = 32,
 ) -> pd.DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band bucket.
-    Returns a DataFrame (id_a, id_b) with id_a < id_b, deduplicated."""
+    Returns a DataFrame (id_a, id_b) with id_a < id_b, deduplicated. Pairing
+    is distributed (see :func:`_bucket_pairs_distributed`): the shuffle
+    carries (band, bh, id) rows only; size ``n_parts`` to the cluster."""
     rows_per_band = n_hashes // bands
 
     def to_bands(tbl: pa.Table) -> pa.Table:
@@ -144,32 +151,89 @@ def minhash_lsh_candidates(
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    # The banded table is n_docs x bands tiny rows. Below the threshold the
-    # bucket-join happens driver-side (vectorized pandas over the collected
-    # partials — Ray's many-small-groups map_groups pays per-group Python
-    # overhead); above it, hash-partition on (band, bh) with the same
-    # bucket_pairs body per partition (cluster-scale path).
-    bdf = banded.to_pandas()
-    return _pairs_from_buckets(bdf, ["band", "bh"], id_col)
+    return _bucket_pairs_distributed(banded, ["band", "bh"], id_col, n_parts=n_parts)
 
 
-def _pairs_from_buckets(bdf: pd.DataFrame, bucket_cols: list[str], id_col: str) -> pd.DataFrame:
-    """All intra-bucket id pairs, vectorized: sort by bucket, keep buckets
-    with >=2 members, emit triangular pairs per bucket."""
-    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+def _typed_empty_pairs(payload_cols: tuple = ()) -> pd.DataFrame:
+    d = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    for p in payload_cols:
+        d[f"{p}_a"] = pd.Series(dtype="int64")
+        d[f"{p}_b"] = pd.Series(dtype="int64")
+    return pd.DataFrame(d)
+
+
+def _tri_pairs(
+    bdf: pd.DataFrame, bucket_cols: list[str], id_col: str, payload_cols: tuple = (), cap: int = 2000
+) -> pd.DataFrame:
+    """All intra-bucket (id_a < id_b) pairs, fully vectorized: dedupe
+    (bucket, id), drop singleton buckets, cap degenerate buckets, then emit
+    triangular pairs for ALL buckets of each distinct size at once — one
+    ``triu_indices`` per distinct bucket size, no per-bucket Python loop."""
     if not len(bdf):
-        return empty
+        return _typed_empty_pairs(payload_cols)
     bdf = bdf.drop_duplicates(bucket_cols + [id_col]).sort_values(bucket_cols + [id_col])
-    sizes = bdf.groupby(bucket_cols, sort=False)[id_col].transform("size")
-    multi = bdf[sizes > 1]
-    if not len(multi):
-        return empty
+    grp = bdf.groupby(bucket_cols, sort=False)
+    sizes = grp[id_col].transform("size").to_numpy()
+    rank = grp.cumcount().to_numpy()
+    sub = bdf[(sizes > 1) & (rank < cap)]
+    if not len(sub):
+        return _typed_empty_pairs(payload_cols)
+    g2 = sub.groupby(bucket_cols, sort=False)
+    rank2 = g2.cumcount().to_numpy()
+    s2 = g2[id_col].transform("size").to_numpy()
+    starts = np.flatnonzero(rank2 == 0)
+    bucket_sizes = s2[starts]
+    ids = sub[id_col].to_numpy()
+    payloads = {p: sub[p].to_numpy() for p in payload_cols}
     frames = []
-    for _, g in multi.groupby(bucket_cols, sort=False):
-        ids = g[id_col].to_numpy()[:2000]  # cap degenerate buckets
-        ii, jj = np.triu_indices(len(ids), k=1)
-        frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]}))
-    return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
+    for s in np.unique(bucket_sizes):
+        sel = starts[bucket_sizes == s]
+        idx = sel[:, None] + np.arange(s)[None, :]  # (k_buckets, s) row indices
+        ii, jj = np.triu_indices(s, k=1)
+        ia, ib = idx[:, ii].ravel(), idx[:, jj].ravel()
+        d = {"id_a": ids[ia], "id_b": ids[ib]}  # ids sorted per bucket → a < b
+        for p in payload_cols:
+            d[f"{p}_a"] = payloads[p][ia]
+            d[f"{p}_b"] = payloads[p][ib]
+        frames.append(pd.DataFrame(d))
+    return pd.concat(frames, ignore_index=True).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _bucket_pairs_distributed(
+    banded: Dataset,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: tuple = (),
+    n_parts: int = 32,
+    cap: int = 2000,
+) -> pd.DataFrame:
+    """Cluster-scale candidate pairing: ONE hash shuffle on the bucket key
+    spreads complete buckets across ``n_parts`` partitions; each partition
+    runs the vectorized triangular generator. The banded table never reaches
+    the driver — only the candidate pair set (the anomaly set) is collected,
+    deduplicated across partitions (the same pair can surface from buckets
+    landing in different partitions)."""
+
+    def add_part(tbl: pa.Table) -> pa.Table:
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for c in bucket_cols:
+            v = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(h ^ v)
+        return tbl.append_column("__part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _tri_pairs(g, bucket_cols, id_col, payload_cols, cap)
+
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if not len(pdf):
+        return _typed_empty_pairs(payload_cols)
+    return pdf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -184,11 +248,31 @@ def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def gather_texts(ds: Dataset, id_col: str, text_col: str, ids: np.ndarray) -> pd.DataFrame:
+    """(id, text) rows for an anomaly-sized id set: broadcast the sorted id
+    array once, membership-filter each batch of a pruned scan (searchsorted —
+    no shuffle, no full-table read). The collected result is candidate-sized
+    by construction; feed it to :func:`verify_pairs_jaccard`."""
+    ids_sorted = np.sort(np.unique(np.asarray(ids)))
+    ref = ray.put(ids_sorted)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        vals = tbl[id_col].to_numpy(zero_copy_only=False)
+        from ..functions.arrays import member_mask
+
+        return tbl.filter(pa.array(member_mask(k, vals)))
+
+    return ds.select_columns([id_col, text_col]).map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
 def verify_pairs_jaccard(
     pairs: pd.DataFrame, id_to_text: dict, threshold: float, n: int = 3
 ) -> pd.DataFrame:
-    """Verify candidate pairs with exact n-gram Jaccard (driver/broadcast-side;
-    the candidate set is the anomaly set, orders smaller than the data)."""
+    """Verify candidate pairs with exact n-gram Jaccard. ``id_to_text`` must
+    be CANDIDATE-sized (build it with :func:`gather_texts`), never the whole
+    corpus — the candidate set is the anomaly set, orders smaller than the
+    data."""
     if not len(pairs):
         return pairs.assign(jaccard=pd.Series(dtype="float64"))
     jac = np.array(
@@ -223,9 +307,13 @@ def simhash64(texts: np.ndarray) -> np.ndarray:
     return out
 
 
-def simhash_candidates(ds: Dataset, text_col: str, id_col: str, chunks: int = 4) -> pd.DataFrame:
+def simhash_candidates(
+    ds: Dataset, text_col: str, id_col: str, chunks: int = 4, n_parts: int = 32
+) -> pd.DataFrame:
     """Near-dup candidates: docs sharing any 16-bit chunk of their SimHash
-    (guarantees recall for hamming distance < chunks)."""
+    (guarantees recall for hamming distance < chunks). Distributed pairing
+    identical to minhash; hamming computed vectorized (popcount via
+    unpackbits) over the collected candidate set."""
 
     def to_chunks(tbl: pa.Table) -> pa.Table:
         texts = np.asarray(tbl[text_col].to_pandas(), dtype=object)
@@ -247,27 +335,18 @@ def simhash_candidates(ds: Dataset, text_col: str, id_col: str, chunks: int = 4)
         )
 
     chunked = ds.map_batches(to_chunks, batch_format="pyarrow")
-    # same small-partials collection pattern as minhash (see note there)
-    cdf = chunked.to_pandas()
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
-    )
-    if not len(cdf):
-        return empty
-    cdf = cdf.drop_duplicates(["chunk", "ch", id_col]).sort_values(["chunk", "ch", id_col])
-    sizes = cdf.groupby(["chunk", "ch"], sort=False)[id_col].transform("size")
-    multi = cdf[sizes > 1]
-    frames = []
-    for _, g in multi.groupby(["chunk", "ch"], sort=False):
-        ids = g[id_col].to_numpy()[:2000]
-        sh = g["simhash"].to_numpy()[:2000]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = (sh[ii].astype(np.int64) ^ sh[jj].astype(np.int64)).view(np.uint64)
-        ham = np.array([bin(v).count("1") for v in x]) if len(x) else np.array([], dtype=np.int64)
-        frames.append(pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "hamming": ham}))
-    if not frames:
-        return empty
-    return pd.concat(frames, ignore_index=True).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = _bucket_pairs_distributed(chunked, ["chunk", "ch"], id_col, payload_cols=("simhash",), n_parts=n_parts)
+    if not len(pairs):
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+        )
+    x = np.ascontiguousarray(
+        pairs["simhash_a"].to_numpy().astype(np.int64) ^ pairs["simhash_b"].to_numpy().astype(np.int64)
+    ).view(np.uint64)
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(1).astype(np.int64)
+    out = pairs[["id_a", "id_b"]].copy()
+    out["hamming"] = ham
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,55 @@ def test_simhash_finds_exact_and_near(ray_session, docs):
     assert len(near) == 1 and near.hamming.iloc[0] <= 16
 
 
+def test_tri_pairs_matches_bruteforce():
+    """Vectorized triangular pair generator vs a per-bucket brute force."""
+    rng = np.random.default_rng(12)
+    bdf = pd.DataFrame(
+        {
+            "band": rng.integers(0, 4, 2000).astype(np.int32),
+            "bh": rng.integers(0, 120, 2000),
+            "doc_id": rng.integers(0, 500, 2000),
+        }
+    )
+    got = dd._tri_pairs(bdf, ["band", "bh"], "doc_id")
+    expect = set()
+    u = bdf.drop_duplicates(["band", "bh", "doc_id"])
+    for _, g in u.groupby(["band", "bh"]):
+        ids = np.sort(g.doc_id.to_numpy())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expect.add((ids[i], ids[j]))
+    assert set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False))) == expect
+    assert len(expect) > 100  # non-trivial case
+
+
+def test_distributed_pairing_matches_driver(ray_session):
+    """Cluster path (hash-partition on bucket key + per-partition pairing)
+    must produce the identical candidate set as a single-node pairing over
+    the same banded table."""
+    rng = np.random.default_rng(11)
+    bdf = pd.DataFrame(
+        {
+            "band": rng.integers(0, 8, 5000).astype(np.int32),
+            "bh": rng.integers(0, 300, 5000),
+            "doc_id": rng.integers(0, 800, 5000),
+        }
+    )
+    got = dd._bucket_pairs_distributed(rd.from_pandas(bdf), ["band", "bh"], "doc_id", n_parts=7)
+    exp = dd._tri_pairs(bdf, ["band", "bh"], "doc_id")
+    gset = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    eset = set(map(tuple, exp[["id_a", "id_b"]].itertuples(index=False)))
+    assert gset == eset and len(gset) > 0
+
+
+def test_gather_texts_candidate_sized(ray_session, docs):
+    ds = rd.from_pandas(docs)
+    out = dd.gather_texts(ds, "doc_id", "text", np.array([0, 5, 1000, 2000]))
+    assert set(out.doc_id) == {0, 5, 1000, 2000}
+    lookup = dict(zip(docs.doc_id, docs.text))
+    assert all(lookup[i] == t for i, t in zip(out.doc_id, out.text))
+
+
 def test_exact_text_dedup(ray_session, docs):
     ds = rd.from_pandas(docs)
     out = dd.exact_text_dedup(ds, "text", "doc_id").to_pandas()
