@@ -29,11 +29,13 @@ file-local scope (the reference's per-fetched-batch semantics,
 from __future__ import annotations
 
 import glob
+import hashlib as _hashlib
 import os
 import pickle
 import time
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -117,10 +119,25 @@ class PartitionValidator:
             vio_parts = [chain_violations(ann_parts[0])]
             stats = partition_stats(empty, self.cfg)
         # key-space state piggybacks on this (only) scan of the partition so
-        # phase 2 never re-reads validated data (SURVEY §4 shuffle-minimization)
-        keyspace_state = zlib.compress(
-            pickle.dumps({"blob": b"".join(ks_blobs), "conv": merge_conv_partials(ks_convs)}, protocol=4), 1
+        # phase 2 never re-reads validated data (SURVEY §4 shuffle-minimization).
+        # The packed-hash blob is SORTED here (distributed, in the actor) and
+        # written as a sidecar file next to the partition's outputs — the
+        # lineage record carries only its path + digest, so at 10^12 keys the
+        # driver never holds blob bytes; phase-2 range-merge tasks memmap the
+        # files and binary-search their own hash range (keyspace._range_dups).
+        hashes = (
+            np.sort(np.frombuffer(b"".join(ks_blobs), dtype=np.uint64))
+            if any(ks_blobs)
+            else np.empty(0, np.uint64)
         )
+        blob_path = os.path.join(self.out_dir, "keyspace", f"{pid}.bin")
+        os.makedirs(os.path.dirname(blob_path), exist_ok=True)
+        tmp = blob_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(hashes.tobytes())
+        os.replace(tmp, blob_path)
+        blob_digest = _hashlib.sha256(hashes.tobytes()).hexdigest()
+        conv_state = zlib.compress(pickle.dumps(merge_conv_partials(ks_convs), protocol=4), 1)
         ann = pa.concat_tables(ann_parts)
         vio = pa.concat_tables(vio_parts)
         tbl = ann  # row count source
@@ -153,7 +170,9 @@ class PartitionValidator:
             "violations": vio.num_rows,
             "pass": vio.num_rows == 0,
             "sketch_state": stats_to_bytes(stats),
-            "keyspace_state": keyspace_state,
+            "keyspace_conv": conv_state,
+            "keyspace_blob": blob_path,
+            "keyspace_digest": blob_digest,
             "input_file": path,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
@@ -231,14 +250,15 @@ def run_validation(
     gkey = "_global"
     grec = store.read(gkey) if resume else None
     # staleness is keyed on a digest over WHICH partitions were validated and
-    # their content (keyspace-state bytes), not just the partition count — a
-    # replaced same-count partition set must recompute the global checks
-    import hashlib as _hashlib
-
+    # their keyspace content (per-partition blob digests computed by the
+    # validators — the driver never re-reads blob bytes to digest them), not
+    # just the partition count — a replaced same-count partition set must
+    # recompute the global checks
     dig = _hashlib.sha256()
     for pid in pids:
+        rec = all_records[pid]
         dig.update(pid.encode())
-        dig.update(_hashlib.sha256(all_records[pid].get("keyspace_state") or b"").digest())
+        dig.update((rec.get("keyspace_digest") or "").encode())
     global_digest = dig.hexdigest()
     if grec is None or grec.get("digest") != global_digest:
         turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
@@ -248,16 +268,22 @@ def run_validation(
             if os.path.exists(conv_index_path)
             else []
         )
-        states = [
-            pickle.loads(zlib.decompress(all_records[pid]["keyspace_state"]))
+        usable = [
+            pid
             for pid in pids
-            if all_records[pid].get("keyspace_state")
+            if all_records[pid].get("keyspace_conv")
+            and all_records[pid].get("keyspace_blob")
+            and os.path.exists(all_records[pid]["keyspace_blob"])
         ]
-        if len(states) == len(pids):
-            blobs = [s["blob"] for s in states]
-            summ = merge_conv_partials([s["conv"] for s in states])
+        if len(usable) == len(pids):
+            # blobs stay on disk: keyspace_from_states receives PATHS, and the
+            # range-merge tasks read their own hash range from each file
+            blobs = [all_records[pid]["keyspace_blob"] for pid in pids]
+            summ = merge_conv_partials(
+                [pickle.loads(zlib.decompress(all_records[pid]["keyspace_conv"])) for pid in pids]
+            )
             gvio = keyspace_from_states(blobs, summ, turns, known, cfg)
-        else:  # records from an older run without embedded state: full scan
+        else:  # records from an older run without sidecar state: full scan
             gvio = keyspace_checks(turns, known, cfg)
         gvio = filter_violations(gvio, cfg)
         atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))

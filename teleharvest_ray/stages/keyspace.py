@@ -138,40 +138,71 @@ def _scan_convs(turns: Dataset, convs_sorted: np.ndarray) -> pd.DataFrame:
     return turns.map_batches(pick, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
+def _sorted_hash_array(entry) -> np.ndarray:
+    """A SORTED uint64 array from a blob entry: raw bytes (unsorted packed
+    hashes — sorted here), an ndarray (assumed sorted), or a sidecar file
+    path (written pre-sorted by the validator; memmapped, so a range task's
+    searchsorted is a page-granular binary search — it never reads the whole
+    file)."""
+    if isinstance(entry, str):
+        return np.memmap(entry, dtype=np.uint64, mode="r")
+    if isinstance(entry, np.ndarray):
+        return entry
+    return np.sort(np.frombuffer(entry, dtype=np.uint64))
+
+
 @ray.remote
 def _range_dups(blob_refs: list, lo: int, hi: int | None) -> np.ndarray:
     """Merge task for one hash range [lo, hi) — ``hi=None`` means to the end
     of uint64 space (2**64 is not representable as uint64; casting it through
-    linspace silently became 0 and dropped the whole top range)."""
+    linspace silently became 0 and dropped the whole top range). Entries may
+    be ObjectRefs (driver-held arrays), raw bytes, or sidecar file PATHS —
+    the path form is the cluster-scale shape: each task reads only its hash
+    range from each file, and the driver never holds any blob."""
     parts = []
     for ref in blob_refs:
         arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        if not isinstance(arr, np.ndarray):
-            arr = np.frombuffer(arr, dtype=np.uint64)
+        arr = _sorted_hash_array(arr)
         a = np.searchsorted(arr, np.uint64(lo))
         b = len(arr) if hi is None else np.searchsorted(arr, np.uint64(hi))
-        parts.append(arr[a:b])
+        parts.append(np.asarray(arr[a:b]))
     merged = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     dup_mask = np.zeros(len(merged), dtype=bool)
     dup_mask[1:] = merged[1:] == merged[:-1]
     return np.unique(merged[dup_mask])
 
 
-def find_dup_hashes(blobs: list[bytes], n_ranges: int = 1) -> np.ndarray:
-    """Duplicate hash candidates across packed blobs.
+def blob_entry_n_keys(entry) -> int:
+    """Key count of a blob entry without loading it (paths use file size)."""
+    import os
+
+    if entry is None:
+        return 0
+    if isinstance(entry, str):
+        return os.path.getsize(entry) // 8
+    if isinstance(entry, np.ndarray):
+        return len(entry)
+    return len(entry) // 8
+
+
+def find_dup_hashes(blobs: list, n_ranges: int = 1) -> np.ndarray:
+    """Duplicate hash candidates across packed blobs (bytes or sidecar file
+    paths).
 
     ``n_ranges > 1`` runs the hash-range-partitioned merge as parallel Ray
     tasks (the cluster-scale path); 1 sorts locally (fine up to ~10^8 keys
-    per node)."""
-    arrays = [np.sort(np.frombuffer(b, dtype=np.uint64)) for b in blobs if b is not None]
-    if not arrays:
+    per node). Path entries are passed to range tasks AS paths — each task
+    memmaps and reads only its own hash range, so no blob ever transits the
+    driver (the 10^12-key shape)."""
+    entries = [b for b in blobs if b is not None and blob_entry_n_keys(b) > 0]
+    if not entries:
         return np.empty(0, np.uint64)
     if n_ranges <= 1:
-        merged = np.sort(np.concatenate(arrays))
+        merged = np.sort(np.concatenate([np.asarray(_sorted_hash_array(e)) for e in entries]))
         dup_mask = np.zeros(len(merged), dtype=bool)
         dup_mask[1:] = merged[1:] == merged[:-1]
         return np.unique(merged[dup_mask])
-    refs = [ray.put(a) for a in arrays]
+    refs = [e if isinstance(e, str) else ray.put(np.sort(np.frombuffer(e, dtype=np.uint64))) for e in entries]
     step = (1 << 64) // n_ranges  # exact python-int bounds; last range open-ended
     bounds = [i * step for i in range(n_ranges)] + [None]
     futs = [_range_dups.remote(refs, bounds[i], bounds[i + 1]) for i in range(n_ranges)]
@@ -206,7 +237,7 @@ def keyspace_checks(
 
 
 def keyspace_from_states(
-    blobs: list[bytes],
+    blobs: list,
     summ: pd.DataFrame,
     turns: Dataset,
     known_conv_ids,
@@ -214,11 +245,14 @@ def keyspace_from_states(
 ) -> pa.Table:
     """Key-space checks from pre-computed per-partition states (the blobs +
     merged per-conv summaries produced by :func:`prep_state` /
-    :func:`merge_conv_partials`). Only the exact verification of candidates
-    touches the data again."""
+    :func:`merge_conv_partials`). Blob entries are raw bytes or — the
+    at-scale shape — SIDECAR FILE PATHS written by the validators, so the
+    range-merge tasks read their hash range straight from disk and the
+    driver never materializes a single blob. Only the exact verification of
+    candidates touches the data again."""
     cfg = cfg or ValidationConfig()
-    # --- dup candidates from packed hashes ---
-    n_keys = sum(len(b) // 8 for b in blobs if b)
+    # --- dup candidates from packed hashes (bytes or sidecar paths) ---
+    n_keys = sum(blob_entry_n_keys(b) for b in blobs)
     n_ranges = 1 if n_keys < 20_000_000 else max(2, min(64, n_keys // 10_000_000))
     dup_hashes = np.sort(find_dup_hashes(blobs, n_ranges))
 

@@ -86,3 +86,48 @@ def test_range_partitioned_dup_merge_covers_top_range(ray_session):
     dups_ranged = find_dup_hashes([a.tobytes(), b.tobytes()], n_ranges=4)
     assert set(dups_local.tolist()) == {int(low), int(top)}
     assert set(np.sort(dups_ranged).tolist()) == {int(low), int(top)}
+
+
+def test_find_dup_hashes_from_sidecar_paths(ray_session, tmp_path):
+    """Path entries (sorted uint64 sidecar files) must yield the identical
+    dup set as in-memory bytes, on both the local and range-task paths —
+    the at-scale shape where no blob transits the driver."""
+    import numpy as np
+
+    from teleharvest_ray.stages.keyspace import find_dup_hashes
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    b = rng.integers(0, 1 << 63, 50_000, dtype=np.uint64)
+    b[:500] = a[:500]  # cross-partition dups
+    a[10] = a[11]  # intra-partition dup
+    pa_, pb = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    np.sort(a).tofile(pa_)
+    np.sort(b).tofile(pb)
+    want = set(find_dup_hashes([a.tobytes(), b.tobytes()], n_ranges=1).tolist())
+    got_local = set(find_dup_hashes([pa_, pb], n_ranges=1).tolist())
+    got_ranged = set(find_dup_hashes([pa_, pb], n_ranges=8).tolist())
+    assert want and got_local == want and got_ranged == want
+
+
+def test_validator_writes_sidecar_blobs(ray_session, tmp_path):
+    """Each validated partition leaves a sorted-hash sidecar file whose key
+    count equals the partition's non-null-key row count."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from teleharvest_ray.pipelines.validate import run_validation
+
+    d = str(tmp_path / "data")
+    generate(d, GenSpec(n_convs=60, n_files=3, seed=9))
+    out = str(tmp_path / "out")
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    blobs = sorted(glob.glob(os.path.join(out, "keyspace", "part-*.bin")))
+    assert len(blobs) == 3
+    for bp in blobs:
+        arr = np.fromfile(bp, dtype=np.uint64)
+        assert len(arr) > 0 and (np.diff(arr.astype(np.int64).view(np.uint64)) >= 0).all() or len(arr) == 0
+        # sorted on disk (precondition for memmapped binary search)
+        assert (arr[:-1] <= arr[1:]).all()
