@@ -894,29 +894,35 @@ ORACLE_SQL["q_list_sum"] = """
 
 
 def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
-    """Multi-join aggregate (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem,
-    dimension side broadcast, fact side pre-aggregated per batch before the
-    final groupby — the canonical star-schema plan."""
+    """Multi-join aggregate (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem.
+    Only the DIMENSION table (customer) is broadcast; the two FACT tables
+    meet in a bucketed hash join on the order key — no fact-sized driver
+    dict or ray.put. Lineitem revenue is pre-aggregated per (batch,
+    orderkey) before the join shuffle (combiner), and the joined stream is
+    pre-aggregated per batch again before the tiny final groupby."""
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
-    # small side: orderkey -> segment map, broadcast once
-    seg = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[["o_orderkey", "c_mktsegment"]]
-    import ray as _ray
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders_seg = jn.broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    ).map_batches(
+        lambda b: b[["o_orderkey", "c_mktsegment"]].rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    li = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    seg_ref = _ray.put(dict(zip(seg.o_orderkey, seg.c_mktsegment)))
-    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(revenue=batch.l_extendedprice * (1 - batch.l_discount))
+        return batch.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
 
-    def partial(batch: pd.DataFrame) -> pa.Table:
-        m = _ray.get(seg_ref)
-        batch = batch.assign(
-            c_mktsegment=batch.l_orderkey.map(m),
-            revenue=batch.l_extendedprice * (1 - batch.l_discount),
-        )
+    li_rev = li.map_batches(li_partial, batch_format="pandas", batch_size=None)
+    joined = jn.bucketed_hash_join(li_rev, orders_seg, on="l_orderkey", n_buckets=32)
+
+    def seg_partial(batch: pd.DataFrame) -> pa.Table:
         g = batch.groupby("c_mktsegment", sort=False)["revenue"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        joined.map_batches(seg_partial, batch_format="pandas", batch_size=None)
         .groupby("c_mktsegment")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()

@@ -383,13 +383,115 @@ def char_jaccard_pairs(ds: Dataset, text_col: str, id_col: str, group_col: str, 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
 
 
+#: past this matrix size the full-corpus broadcast stops scaling — dispatch
+#: to the LSH-bucketed path instead (hyperplane signatures + exact verify)
+BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+def _hyperplane_codes(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) bucket codes: sign bits of the projections onto each
+    table's hyperplanes, packed into an integer per table."""
+    proj = np.tensordot(vecs, planes, axes=([1], [2]))  # (n, T, P)
+    bits = proj > 0
+    codes = np.zeros(bits.shape[:2], dtype=np.uint64)
+    for p in range(planes.shape[1]):
+        codes |= bits[:, :, p].astype(np.uint64) << np.uint64(p)
+    return codes
+
+
+def embedding_near_dup_lsh(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_tables: int = 32,
+    n_planes: int = 4,
+    seed: int = 21,
+    n_parts: int = 32,
+) -> pd.DataFrame:
+    """Near-dup pairs WITHOUT a corpus-sized broadcast: fixed-seed random
+    hyperplane signatures per batch → distributed bucket pairing (the same
+    one-shuffle path as minhash) → exact cosine verification over the
+    candidate ids' vectors only. Precision is exact (every emitted pair is
+    verified); recall is the LSH collision probability
+    ``1-(1-p^n_planes)^n_tables`` with ``p = 1 - θ/π`` — raise ``n_planes``
+    with corpus size to keep buckets bounded, ``n_tables`` to keep recall."""
+
+    def to_buckets(tbl: pa.Table) -> pa.Table:
+        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        # deterministic given (seed, dim): identical planes in every batch
+        planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, vecs.shape[1]))
+        codes = _hyperplane_codes(vecs, planes)
+        n = len(ids)
+        return pa.table(
+            {
+                "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                "bh": pa.array(codes.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, n_tables)),
+            }
+        )
+
+    banded = ds.map_batches(to_buckets, batch_format="pyarrow")
+    cands = _bucket_pairs_distributed(banded, ["tbl", "bh"], id_col, n_parts=n_parts)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(cands):
+        return empty
+    # exact verification: candidate-sized vector gather (membership filter
+    # over a pruned scan), then one vectorized dot per pair
+    need = np.unique(np.concatenate([cands.id_a.to_numpy(), cands.id_b.to_numpy()]))
+    got = gather_texts(ds, id_col, vec_col, need)
+    got = got.sort_values(id_col).reset_index(drop=True)
+    gids = got[id_col].to_numpy()
+    V = np.stack(got[vec_col].to_numpy()).astype(np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    ai = np.searchsorted(gids, cands.id_a.to_numpy())
+    bi = np.searchsorted(gids, cands.id_b.to_numpy())
+    cos = (V[ai] * V[bi]).sum(1)
+    keep = cos >= threshold
+    if not keep.any():
+        return empty
+    return pd.DataFrame(
+        {
+            "id_a": cands.id_a.to_numpy()[keep].astype(np.int64),
+            "id_b": cands.id_b.to_numpy()[keep].astype(np.int64),
+            "cosine": cos[keep],
+        }
+    ).reset_index(drop=True)
+
+
 def embedding_near_dup(
-    ds: Dataset, vec_col: str, id_col: str, threshold: float, all_vecs: np.ndarray, all_ids: np.ndarray
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    all_vecs: np.ndarray | None = None,
+    all_ids: np.ndarray | None = None,
+    broadcast_budget: int = BROADCAST_BUDGET_BYTES,
+    **lsh_kwargs,
 ) -> Dataset:
-    """Pairs (id_a < id_b) with cosine >= threshold: each batch does one
-    matmul against the broadcast full matrix (the J1 broadcast pattern); at
-    larger-than-broadcast scale swap in LSH bucketing (simhash of the
-    hyperplane signs) with the same output contract."""
+    """Pairs (id_a < id_b) with cosine >= threshold. Two paths, same output
+    contract:
+
+    - EXACT (default when ``all_vecs`` fits ``broadcast_budget``): each batch
+      does one matmul against the broadcast full matrix (the J1 broadcast
+      pattern) — exhaustive, no recall loss.
+    - LSH (``all_vecs`` omitted or over budget): hyperplane-bucketed
+      candidates + exact cosine verification via
+      :func:`embedding_near_dup_lsh` — no corpus-sized broadcast anywhere,
+      the 100 TB shape."""
+    if all_vecs is None or all_vecs.nbytes > broadcast_budget:
+        import ray.data as _rd
+
+        return _rd.from_pandas(
+            embedding_near_dup_lsh(ds, vec_col, id_col, threshold, **lsh_kwargs)
+        )
     norm = all_vecs / np.maximum(np.linalg.norm(all_vecs, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put(norm)
     ids_ref = ray.put(all_ids)

@@ -142,6 +142,24 @@ def test_lsh_topk_recall(ray_session):
     assert recall >= 0.6, recall  # bucketed ANN trades recall for pruning
 
 
+def test_embedding_near_dup_lsh_matches_exact(ray_session):
+    """LSH fallback (no corpus broadcast): exact precision — every emitted
+    pair is cosine-verified — and high recall vs the exhaustive path."""
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((400, 24))
+    for k in range(20):  # planted near-dups, cos >= ~0.9
+        vecs[300 + k] = vecs[k] + rng.standard_normal(24) * 0.1
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    exact = dd.embedding_near_dup(ds, "embedding", "vec_id", 0.9, vecs, np.arange(400)).to_pandas()
+    lsh = dd.embedding_near_dup(ds, "embedding", "vec_id", 0.9).to_pandas()  # no matrix → LSH path
+    e = set(map(tuple, exact[["id_a", "id_b"]].itertuples(index=False)))
+    a = set(map(tuple, lsh[["id_a", "id_b"]].itertuples(index=False)))
+    assert len(e) >= 20
+    assert a <= e, "LSH must not emit unverified pairs"
+    assert len(e & a) / len(e) >= 0.85, f"recall {len(e & a) / len(e):.2f}"
+
+
 def test_embedding_near_dup_planted(ray_session):
     rng = np.random.default_rng(10)
     vecs = rng.standard_normal((200, 16))
