@@ -76,11 +76,20 @@ class PartitionValidator:
 
     def __call__(self, batch) -> pa.Table:
         records = []
-        for path, pid in zip(batch["path"], batch["pid"]):
-            records.append(self._one(str(path), str(pid)))
+        start_rows = batch["start_row"] if "start_row" in batch else [0] * len(batch["path"])
+        for path, pid, sr in zip(batch["path"], batch["pid"], start_rows):
+            records.append(self._one(str(path), str(pid), int(sr)))
         return pa.Table.from_pylist(records)
 
-    def _one(self, path: str, pid: str) -> dict:
+    def _one(self, path: str, pid: str, start_row: int = 0) -> dict:
+        """Validate rows ``[start_row, end)`` of the partition. ``start_row
+        > 0`` is the ROW-LEVEL INCREMENTAL path (the reference's watermark:
+        only rows past the last validated id are fetched, processor.py:59-63,
+        models/message.py:75-89, under the same append-only/id-monotone
+        contract): only the delta rows are scanned, their outputs MERGE into
+        the partition's existing violations/sketch/keyspace state, and the
+        last-turn ER exemption is scoped to the delta (the reference's
+        per-fetched-batch semantics, processor.py:76-77)."""
         t0 = time.perf_counter()
         # stream the partition ROW-GROUP-wise: peak actor memory is bounded by
         # row-group size, not file size (a 1 GB file never materializes whole).
@@ -88,12 +97,14 @@ class PartitionValidator:
         # exemption recasts the reference's per-batch flag, processor.py:76-77)
         # and the stats sketches merge associatively, so group-wise == whole.
         pf = pq.ParquetFile(path)
-        # file-local per-conv max turn for the last-turn ER exemption: a cheap
-        # two-column read keeps the exemption file-scoped even though the text
-        # columns stream row-group-wise
+        # per-conv max turn (over the fetched span) for the last-turn ER
+        # exemption: a cheap two-column read keeps the exemption fetch-scoped
+        # even though the text columns stream row-group-wise
         conv_last = None
         try:
             kt = pq.read_table(path, columns=["conv_id", "turn_idx"])
+            if start_row:
+                kt = kt.slice(start_row)
             cl_conv = kt["conv_id"].to_pandas()
             cl_turn = kt["turn_idx"].to_numpy(zero_copy_only=False)
             import pandas as _pd
@@ -103,8 +114,16 @@ class PartitionValidator:
             pass
         ann_parts, vio_parts, stats = [], [], None
         ks_blobs, ks_convs = [], []
+        cum = 0
         for rg in range(pf.num_row_groups):
+            n_rg = pf.metadata.row_group(rg).num_rows
+            if cum + n_rg <= start_row:  # fully validated already
+                cum += n_rg
+                continue
             tbl_g = pf.read_row_group(rg)
+            if cum < start_row:  # partially-new row group: keep the new tail
+                tbl_g = tbl_g.slice(start_row - cum)
+            cum += n_rg
             ann_g = evaluate_chain(tbl_g, self.cfg, self.profile.exemplars, conv_last=conv_last)
             ann_parts.append(ann_g)
             vio_parts.append(chain_violations(ann_g))
@@ -113,11 +132,31 @@ class PartitionValidator:
             ks = prep_state(tbl_g)
             ks_blobs.append(ks["blob"])
             ks_convs.append(ks["conv"])
-        if stats is None:  # zero row groups
-            empty = pq.read_table(path)
+        if stats is None:  # zero row groups (or an empty delta)
+            empty = pq.read_table(path).slice(start_row)
             ann_parts = [evaluate_chain(empty, self.cfg, self.profile.exemplars)]
             vio_parts = [chain_violations(ann_parts[0])]
             stats = partition_stats(empty, self.cfg)
+        ann = pa.concat_tables(ann_parts)
+        vio = pa.concat_tables(vio_parts)
+        delta_rows = ann.num_rows
+
+        # Incremental path: fold the already-validated prefix's state back in
+        # (sketches merge associatively; hash blobs concatenate; conv partials
+        # re-aggregate) so the record/sidecar describe the WHOLE partition.
+        prev_rows = 0
+        if start_row:
+            old = CheckpointStore(os.path.join(self.out_dir, "checkpoints")).read(pid)
+            if old is not None:
+                prev_rows = int(old.get("rows_scanned", 0))
+                if old.get("sketch_state"):
+                    stats = merge_stats(stats_from_bytes(old["sketch_state"]), stats)
+                ob = old.get("keyspace_blob")
+                if ob and os.path.exists(ob):
+                    ks_blobs.insert(0, np.fromfile(ob, dtype=np.uint64).tobytes())
+                if old.get("keyspace_conv"):
+                    ks_convs.insert(0, pickle.loads(zlib.decompress(old["keyspace_conv"])))
+
         # key-space state piggybacks on this (only) scan of the partition so
         # phase 2 never re-reads validated data (SURVEY §4 shuffle-minimization).
         # The packed-hash blob is SORTED here (distributed, in the actor) and
@@ -130,17 +169,21 @@ class PartitionValidator:
             if any(ks_blobs)
             else np.empty(0, np.uint64)
         )
-        blob_path = os.path.join(self.out_dir, "keyspace", f"{pid}.bin")
+        blob_digest = _hashlib.sha256(hashes.tobytes()).hexdigest()
+        # content-addressed sidecar name: a delta revalidation writes a NEW
+        # file, so the prior record's blob stays intact until the new record
+        # is durable (the driver deletes superseded blobs only after
+        # store.write) — a crash anywhere leaves a consistent (record, blob)
+        # pair to resume from
+        blob_path = os.path.join(self.out_dir, "keyspace", f"{pid}-{blob_digest[:12]}.bin")
         os.makedirs(os.path.dirname(blob_path), exist_ok=True)
         tmp = blob_path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(hashes.tobytes())
         os.replace(tmp, blob_path)
-        blob_digest = _hashlib.sha256(hashes.tobytes()).hexdigest()
         conv_state = zlib.compress(pickle.dumps(merge_conv_partials(ks_convs), protocol=4), 1)
-        ann = pa.concat_tables(ann_parts)
-        vio = pa.concat_tables(vio_parts)
-        tbl = ann  # row count source
+
+        # drift is a whole-partition distribution check → merged stats
         findings = (
             []
             if ("drift" in self.cfg.disabled_checks or stats["n_rows"] == 0)
@@ -161,12 +204,24 @@ class PartitionValidator:
                 ]
             )
         vio = filter_violations(vio, self.cfg)
-        atomic_write_parquet(vio, os.path.join(self.out_dir, "violations", f"{pid}.parquet"))
+        vio_path = os.path.join(self.out_dir, "violations", f"{pid}.parquet")
+        if start_row and os.path.exists(vio_path):
+            # keep prior row-level violations; drift was recomputed above over
+            # the merged stats, so stale drift rows are replaced, not doubled
+            old_vio = pq.read_table(vio_path)
+            import pyarrow.compute as _pc
+
+            old_vio = old_vio.filter(_pc.not_equal(old_vio["check_id"], "drift"))
+            vio = pa.concat_tables([old_vio, vio])
+        atomic_write_parquet(vio, vio_path)
         if self.write_annotated:
-            atomic_write_parquet(ann, os.path.join(self.out_dir, "annotated", f"{pid}.parquet"))
+            ann_path = os.path.join(self.out_dir, "annotated", f"{pid}.parquet")
+            if start_row and os.path.exists(ann_path):
+                ann = pa.concat_tables([pq.read_table(ann_path), ann])
+            atomic_write_parquet(ann, ann_path)
         return {
             "partition_id": pid,
-            "rows_scanned": tbl.num_rows,
+            "rows_scanned": prev_rows + delta_rows,
             "violations": vio.num_rows,
             "pass": vio.num_rows == 0,
             "sketch_state": stats_to_bytes(stats),
@@ -209,13 +264,29 @@ def run_validation(
     profile = build_profile(ref_tbl, cfg)
     profile_ref = ray.put(profile)
 
-    todo = [(f, p) for f, p in zip(files, pids) if p not in done]
+    # Work list. A partition with a record can still need work when the file
+    # GREW since validation (the reference's watermark semantics: new rows
+    # append under an id-monotone contract, processor.py:59-63) — only the
+    # delta rows [rows_scanned, end) revalidate, merging into the existing
+    # state. A shrunk/replaced file falls back to full revalidation. The
+    # growth probe is a footer-only read per already-validated file.
+    todo = []
+    for f, p in zip(files, pids):
+        rec = done.get(p)
+        if rec is None:
+            todo.append({"path": f, "pid": p, "start_row": 0})
+            continue
+        n_now = pq.ParquetFile(f).metadata.num_rows
+        n_rec = int(rec.get("rows_scanned", 0))
+        if n_now != n_rec:
+            todo.append({"path": f, "pid": p, "start_row": n_rec if n_now > n_rec else 0})
+            done.pop(p)
     n_resumed = len(files) - len(todo)
     new_records = []
     if todo:
         avail = int(ray.available_resources().get("CPU", 4))
         conc = concurrency or max(1, min(len(todo), avail))
-        ds = rd.from_items([{"path": f, "pid": p} for f, p in todo])
+        ds = rd.from_items(todo)
         result = ds.map_batches(
             PartitionValidator,
             fn_constructor_args=(cfg, profile_ref, out_dir, write_annotated),
@@ -228,6 +299,17 @@ def run_validation(
             for rec in batch.to_pylist():
                 store.write(rec["partition_id"], rec)
                 new_records.append(rec)
+                # the record is durable → superseded sidecar blobs can go
+                keep = rec.get("keyspace_blob")
+                if keep:
+                    for stale in glob.glob(
+                        os.path.join(out_dir, "keyspace", rec["partition_id"] + "-*.bin")
+                    ):
+                        if stale != keep:
+                            try:
+                                os.unlink(stale)
+                            except OSError:
+                                pass
         # per-stage execution stats (wall/cpu/memory per operator) for tuning
         try:
             with open(os.path.join(out_dir, "ray_stats.txt"), "w") as fh:

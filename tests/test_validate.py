@@ -74,3 +74,60 @@ def test_fresh_rerun_is_deterministic(ray_session, dataset, tmp_path):
     run_validation(dataset, out1, ValidationConfig(salt_buckets=8))
     run_validation(dataset, out2, ValidationConfig(salt_buckets=8))
     assert _vio_set(read_violations(out1)) == _vio_set(read_violations(out2))
+
+
+def test_incremental_append_revalidates_only_delta(ray_session, tmp_path):
+    """Row-level incremental ingest (the reference's watermark semantics):
+    after rows are appended to a validated partition, a resume revalidates
+    ONLY the delta, merges sketch/keyspace state, and the final violation
+    set equals a from-scratch run over the grown data."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    d = str(tmp_path / "inc")
+    generate(d, GenSpec(n_convs=80, n_files=4, seed=21))
+    out = str(tmp_path / "inc_out")
+    s1 = run_validation(d, out, ValidationConfig())
+    v1 = read_violations(out)
+
+    p = os.path.join(d, "part-00002.parquet")
+    old = pq.read_table(p)
+    # pick an existing (conv, turn 0) of this partition to duplicate — the
+    # dup spans prefix↔delta, so catching it REQUIRES the merged key state
+    dup_conv = old["conv_id"][0].as_py()
+    longtext = "ok " * 100
+    ap = pd.DataFrame(
+        {
+            "conv_id": ["conv-newinc"] * 3 + [dup_conv],
+            "turn_idx": np.array([0, 1, 3, 0], dtype="int32"),  # gap at 2
+            "role": ["user", "assistant", "user", "user"],
+            "text": ["hi", longtext, longtext, longtext],  # one short text
+            "tool": [None] * 4,
+            "ts": pd.to_datetime(["2024-02-01T00:00:00"] * 4),
+            "views": [1000] * 4,
+            "reactions": [100] * 4,
+            "forwards": [1] * 4,
+        }
+    )
+    delta = pa.Table.from_pandas(ap, schema=old.schema, preserve_index=False)
+    pq.write_table(pa.concat_tables([old, delta]), p)
+
+    s2 = run_validation(d, out, ValidationConfig())
+    assert s2["n_resumed"] == 3 and s2["n_validated_now"] == 1
+    assert s2["rows_scanned"] == s1["rows_scanned"] + 4
+    v2 = read_violations(out)
+    # prior violations retained; cross-prefix dup + delta plants caught
+    assert _vio_set(v1) - {t for t in _vio_set(v1) if t[2] == "drift"} <= _vio_set(v2)
+    assert (dup_conv, 0, "dup_key") in _vio_set(v2)
+    assert ("conv-newinc", 0, "text_too_short") in _vio_set(v2)
+    assert any(t[0] == "conv-newinc" and t[2] == "seq_gap" for t in _vio_set(v2))
+    assert ("conv-newinc", -1, "orphan_conv") in _vio_set(v2)
+    # equivalence with a from-scratch run over the grown data
+    out_ctl = str(tmp_path / "inc_ctl")
+    run_validation(d, out_ctl, ValidationConfig())
+    assert _vio_set(v2) == _vio_set(read_violations(out_ctl))
+    # exactly one sidecar blob per partition survives (superseded one pruned)
+    blobs = _glob.glob(os.path.join(out, "keyspace", "part-00002-*.bin"))
+    assert len(blobs) == 1
