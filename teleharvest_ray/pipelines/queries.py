@@ -33,6 +33,7 @@ from ..sources.datagen import GenSpec, generate
 from ..stages import dedup as dd
 from ..stages import joins as jn
 from ..stages import multimodal as mm
+from ..stages import embed as emb
 from ..stages import similarity as sim
 from ..stages import text_analysis as ta
 from .validate import read_violations, run_validation
@@ -317,6 +318,37 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_embed_documents(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool embedding stage over documents (the A3 heavy-model seam,
+    stages/embed.py; hashed_bow backend — rows-only, hash-based). Emits a
+    per-doc summary of the embedding, computed vectorized per batch."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    embedded = emb.embed_texts(ds, concurrency=2, batch_size=2048)
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        col = tbl["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(col))
+        if len(flat):
+            m = int(np.searchsorted(offs[:-1], offs[-1], side="left"))
+            if m:
+                sums[:m] = np.add.reduceat(flat[: offs[-1]], offs[:-1][:m])
+            sums[offs[1:] == offs[:-1]] = 0.0
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "vec_dim": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+                "vec_sum": pa.array(np.round(sums, 6)),
+            }
+        )
+
+    out = embedded.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_props_extract(sf_dir: str) -> pd.DataFrame:
     """JSON field extraction from the events props column (scalar-function
     inventory: the reference's json codec, models/message.py:61)."""
@@ -512,6 +544,7 @@ QUERIES = {
     "q_quality_counts": q_quality_counts,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_embed_documents": q_embed_documents,
     "q_props_extract": q_props_extract,
     "q_media_meta": q_media_meta,
     "q_dedup_key": q_dedup_key,

@@ -233,6 +233,18 @@ class PartitionValidator:
         }
 
 
+def probe_scoring_capability(probe) -> bool:
+    """Run the scoring capability probe ONCE at run start (the reference
+    checks its credit balance before processing and disables scoring on
+    failure, ``processor.py:32-35``; its error-type mapping
+    ``services/openai_service.py:68-77`` collapses here to one boolean
+    seam). Any exception or falsy result means 'scoring unavailable'."""
+    try:
+        return bool(probe())
+    except Exception:
+        return False
+
+
 def run_validation(
     data_dir: str,
     out_dir: str,
@@ -240,9 +252,18 @@ def run_validation(
     resume: bool = True,
     concurrency: int | None = None,
     write_annotated: bool = True,
+    capability_probe=None,
 ) -> dict:
-    """Validate every ``part-*.parquet`` under ``data_dir``; resumable."""
+    """Validate every ``part-*.parquet`` under ``data_dir``; resumable.
+
+    ``capability_probe``: optional zero-arg callable probed ONCE before the
+    run; a failure/falsy result disables the scoring sub-chain for the whole
+    run (the reference's runtime credits gate)."""
     cfg = cfg or ValidationConfig()
+    if capability_probe is not None and not probe_scoring_capability(capability_probe):
+        from dataclasses import replace
+
+        cfg = replace(cfg, scoring_enabled=False)
     files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
     if not files:
         raise FileNotFoundError(f"no part-*.parquet under {data_dir}")

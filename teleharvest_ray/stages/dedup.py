@@ -363,15 +363,27 @@ def char_jaccard_pairs(ds: Dataset, text_col: str, id_col: str, group_col: str, 
         g = g.sort_values(id_col)
         texts = g[text_col].to_numpy(object)
         ids = g[id_col].to_numpy()
-        # char-presence sets as python frozensets (alphabet is tiny); pairwise
-        # via matrix over the group's alphabet
-        alphabet = sorted(set().union(*[set(t) for t in texts])) if len(texts) else []
-        if len(texts) < 2 or not alphabet:
+        if len(texts) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        amap = {c: i for i, c in enumerate(alphabet)}
-        m = np.zeros((len(texts), len(alphabet)), dtype=bool)
-        for i, t in enumerate(texts):
-            m[i, [amap[c] for c in set(t)]] = True
+        # char-presence matrix built in ONE vectorized pass: concatenate the
+        # group's bytes, scatter (row, byte) presence. Byte == char for pure
+        # ASCII (the common corpus case); multi-byte text falls back to the
+        # per-row char-set path so unicode still matches DuckDB's jaccard().
+        raw = [t.encode() for t in texts]
+        flat = np.frombuffer(b"".join(raw), dtype=np.uint8)
+        if len(flat) and flat.max() < 128:
+            lens = np.fromiter((len(r) for r in raw), dtype=np.int64, count=len(raw))
+            rows = np.repeat(np.arange(len(texts)), lens)
+            m = np.zeros((len(texts), 128), dtype=bool)
+            m[rows, flat] = True
+        else:
+            alphabet = sorted(set().union(*[set(t) for t in texts]))
+            if not alphabet:
+                return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            amap = {c: i for i, c in enumerate(alphabet)}
+            m = np.zeros((len(texts), len(alphabet)), dtype=bool)
+            for i, t in enumerate(texts):
+                m[i, [amap[c] for c in set(t)]] = True
         inter = (m.astype(np.int32) @ m.astype(np.int32).T)
         sizes = m.sum(1)
         union = sizes[:, None] + sizes[None, :] - inter

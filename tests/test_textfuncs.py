@@ -102,3 +102,24 @@ def test_parse_score_reference_parity():
             return None
 
     assert got == [ref(c) for c in cases]
+
+
+def test_embedding_stage_hashed_bow_and_guard(ray_session):
+    """The A3 model seam: actor-pool embedding stage matches the hashed_bow
+    proxy exactly; a real-model name raises the guarded ImportError."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from teleharvest_ray.functions.textfuncs import hashed_bow
+    from teleharvest_ray.stages.embed import EmbeddingStage, embed_texts
+
+    texts = ["alpha beta gamma", "", "alpha alpha delta", "epsilon"] * 50
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}))
+    out = embed_texts(ds, concurrency=2, batch_size=64).to_pandas().sort_values("doc_id")
+    got = np.stack(out.embedding.to_numpy())
+    want = hashed_bow(np.asarray(texts, dtype=object))
+    assert np.allclose(got, want)
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        EmbeddingStage(model="all-MiniLM-L6-v2")

@@ -131,3 +131,29 @@ def test_incremental_append_revalidates_only_delta(ray_session, tmp_path):
     # exactly one sidecar blob per partition survives (superseded one pruned)
     blobs = _glob.glob(os.path.join(out, "keyspace", "part-00002-*.bin"))
     assert len(blobs) == 1
+
+
+def test_capability_probe_disables_scoring(ray_session, tmp_path):
+    """A failing runtime capability probe must disable the scoring sub-chain
+    for the whole run — identical behavior to scoring_enabled=False."""
+    from dataclasses import replace
+
+    d = str(tmp_path / "probe_data")
+    generate(d, GenSpec(n_convs=60, n_files=3, seed=31))
+
+    def boom():
+        raise RuntimeError("no credits")
+
+    out_probe = str(tmp_path / "probe_out")
+    run_validation(d, out_probe, ValidationConfig(), write_annotated=False, capability_probe=boom)
+    out_flag = str(tmp_path / "flag_out")
+    run_validation(d, out_flag, replace(ValidationConfig(), scoring_enabled=False), write_annotated=False)
+    vp, vf = read_violations(out_probe), read_violations(out_flag)
+    assert _vio_set(vp) == _vio_set(vf)
+    assert not (vp.check_id.isin(["low_score", "low_score_alt"])).any()
+    # a passing probe keeps scoring on
+    out_ok = str(tmp_path / "ok_out")
+    run_validation(d, out_ok, ValidationConfig(), write_annotated=False, capability_probe=lambda: True)
+    out_ctl = str(tmp_path / "ctl_out")
+    run_validation(d, out_ctl, ValidationConfig(), write_annotated=False)
+    assert _vio_set(read_violations(out_ok)) == _vio_set(read_violations(out_ctl))
