@@ -104,22 +104,35 @@ def lsh_bucket_topk(
         sig = np.stack(
             [(((vecs @ pl[t]) > 0).astype(np.uint8) * (1 << np.arange(npl))).sum(1) for t in range(nt)]
         )  # (n_tables, n_batch)
+        # vectorized across queries: per query-block (bounds the boolean
+        # match matrix at block × n_batch), gather all (query, candidate)
+        # pairs at once, one einsum for their cosines, then a lexsort-based
+        # per-query top-k — no per-query Python loop, so large query sets
+        # cost O(pairs) numpy work
         rows_q, rows_id, rows_sim = [], [], []
-        for qi in range(len(q)):
-            mask = (sig == qsig[:, qi][:, None]).any(axis=0)
-            if not mask.any():
+        QB = 512
+        for s0 in range(0, len(q), QB):
+            s1 = min(s0 + QB, len(q))
+            m = (qsig[:, s0:s1, None] == sig[:, None, :]).any(0)  # (block, n_batch)
+            bqi, vi = np.nonzero(m)
+            if not len(bqi):
                 continue
-            sims = vecs[mask] @ q[qi]
-            sel_ids = ids[mask]
-            nonself = sel_ids != qids[qi]
-            sims, sel_ids = sims[nonself], sel_ids[nonself]
-            if not len(sims):
+            gqi = bqi + s0
+            sims = np.einsum("ij,ij->i", q[gqi], vecs[vi])
+            cand = ids[vi]
+            nonself = cand != qids[gqi]
+            gqi, cand, sims = gqi[nonself], cand[nonself], sims[nonself]
+            if not len(gqi):
                 continue
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kth=kk - 1)[:kk]
-            rows_q.append(np.full(kk, qids[qi]))
-            rows_id.append(sel_ids[top])
-            rows_sim.append(sims[top])
+            order = np.lexsort((cand, -sims, gqi))  # query asc, sim desc, id asc
+            gqi, cand, sims = gqi[order], cand[order], sims[order]
+            starts = np.flatnonzero(np.r_[True, gqi[1:] != gqi[:-1]])
+            counts = np.diff(np.r_[starts, len(gqi)])
+            ranks = np.arange(len(gqi)) - np.repeat(starts, counts)
+            keep = ranks < k
+            rows_q.append(qids[gqi[keep]])
+            rows_id.append(cand[keep])
+            rows_sim.append(sims[keep])
         if not rows_q:
             return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
         return pa.table(
