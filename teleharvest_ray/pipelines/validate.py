@@ -45,6 +45,7 @@ import ray.data as rd
 from ..checks import filter_violations
 from ..config import ValidationConfig
 from ..stages.keyspace import (
+    conv_partials_table,
     keyspace_checks,
     keyspace_from_states,
     merge_conv_partials,
@@ -154,7 +155,10 @@ class PartitionValidator:
                 ob = old.get("keyspace_blob")
                 if ob and os.path.exists(ob):
                     ks_blobs.insert(0, np.fromfile(ob, dtype=np.uint64).tobytes())
-                if old.get("keyspace_conv"):
+                oc = old.get("keyspace_conv_path")
+                if oc and os.path.exists(oc):
+                    ks_convs.insert(0, pq.read_table(oc).to_pandas())
+                elif old.get("keyspace_conv"):  # pre-sidecar record format
                     ks_convs.insert(0, pickle.loads(zlib.decompress(old["keyspace_conv"])))
 
         # key-space state piggybacks on this (only) scan of the partition so
@@ -181,7 +185,12 @@ class PartitionValidator:
         with open(tmp, "wb") as fh:
             fh.write(hashes.tobytes())
         os.replace(tmp, blob_path)
-        conv_state = zlib.compress(pickle.dumps(merge_conv_partials(ks_convs), protocol=4), 1)
+        # conv partials go to a parquet sidecar under the same epoch tag —
+        # phase 2 reads ALL partitions' partials as one Dataset and
+        # re-aggregates them distributed, so conversation-count-sized state
+        # never materializes on the driver
+        conv_path = os.path.join(self.out_dir, "keyspace", f"{pid}-{blob_digest[:12]}-conv.parquet")
+        atomic_write_parquet(conv_partials_table(merge_conv_partials(ks_convs)), conv_path)
 
         # drift is a whole-partition distribution check → merged stats
         findings = (
@@ -225,7 +234,7 @@ class PartitionValidator:
             "violations": vio.num_rows,
             "pass": vio.num_rows == 0,
             "sketch_state": stats_to_bytes(stats),
-            "keyspace_conv": conv_state,
+            "keyspace_conv_path": conv_path,
             "keyspace_blob": blob_path,
             "keyspace_digest": blob_digest,
             "input_file": path,
@@ -320,13 +329,13 @@ def run_validation(
             for rec in batch.to_pylist():
                 store.write(rec["partition_id"], rec)
                 new_records.append(rec)
-                # the record is durable → superseded sidecar blobs can go
-                keep = rec.get("keyspace_blob")
-                if keep:
+                # the record is durable → superseded sidecar files can go
+                keep = {rec.get("keyspace_blob"), rec.get("keyspace_conv_path")}
+                for pat in ("-*.bin", "-*-conv.parquet"):
                     for stale in glob.glob(
-                        os.path.join(out_dir, "keyspace", rec["partition_id"] + "-*.bin")
+                        os.path.join(out_dir, "keyspace", rec["partition_id"] + pat)
                     ):
-                        if stale != keep:
+                        if stale not in keep:
                             try:
                                 os.unlink(stale)
                             except OSError:
@@ -374,17 +383,17 @@ def run_validation(
         usable = [
             pid
             for pid in pids
-            if all_records[pid].get("keyspace_conv")
+            if all_records[pid].get("keyspace_conv_path")
+            and os.path.exists(all_records[pid]["keyspace_conv_path"])
             and all_records[pid].get("keyspace_blob")
             and os.path.exists(all_records[pid]["keyspace_blob"])
         ]
         if len(usable) == len(pids):
-            # blobs stay on disk: keyspace_from_states receives PATHS, and the
-            # range-merge tasks read their own hash range from each file
+            # both halves of the keyspace state stay on disk: blob PATHS go
+            # to the range-merge tasks, and the conv partial sidecars stream
+            # through a distributed groupby — the driver sees only candidates
             blobs = [all_records[pid]["keyspace_blob"] for pid in pids]
-            summ = merge_conv_partials(
-                [pickle.loads(zlib.decompress(all_records[pid]["keyspace_conv"])) for pid in pids]
-            )
+            summ = rd.read_parquet([all_records[pid]["keyspace_conv_path"] for pid in pids])
             gvio = keyspace_from_states(blobs, summ, turns, known, cfg)
         else:  # records from an older run without sidecar state: full scan
             gvio = keyspace_checks(turns, known, cfg)

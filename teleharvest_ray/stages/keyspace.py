@@ -76,6 +76,33 @@ def prep_state(tbl: pa.Table) -> dict:
     return {"blob": hashes.tobytes(), "conv": c}
 
 
+CONV_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_distinct", pa.int64()),
+        ("min_t", pa.int64()),
+        ("max_t", pa.int64()),
+        ("n_rows", pa.int64()),
+    ]
+)
+
+
+def conv_partials_table(df: pd.DataFrame) -> pa.Table:
+    """Typed Arrow table for a conv-partials frame (stable sidecar schema —
+    empty partitions still produce a readable, schema-complete file)."""
+    if not len(df):
+        return CONV_PARTIAL_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "conv_id": pa.array(df["conv_id"].to_numpy(object), pa.string()),
+            "n_distinct": pa.array(df["n_distinct"].to_numpy().astype(np.int64)),
+            "min_t": pa.array(df["min_t"].to_numpy().astype(np.int64)),
+            "max_t": pa.array(df["max_t"].to_numpy().astype(np.int64)),
+            "n_rows": pa.array(df["n_rows"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
 def merge_conv_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
     """Merge per-batch conv partials into per-conv summaries. n_distinct sums
     can overcount when a duplicated key spans batches — overcounts either
@@ -236,6 +263,77 @@ def keyspace_checks(
     return keyspace_from_states(blobs, summ, turns, known_conv_ids, cfg)
 
 
+def _membership_checker(known_conv_ids, cfg: ValidationConfig):
+    """Serializable membership closure for the orphan check: empty index →
+    check not applicable (never flags); big index → Bloom (one-sided:
+    flagged ⇒ truly absent); else sorted-array searchsorted."""
+    index_arr = np.asarray(list(known_conv_ids), dtype=object)
+    if len(index_arr) == 0:
+        return lambda conv: np.ones(len(conv), dtype=bool)
+    if len(index_arr) > cfg.orphan_bloom_threshold:
+        from ..functions.bloom import BloomFilter
+
+        bf = BloomFilter.from_strings(index_arr)
+        return lambda conv: bf.contains_strings(conv)
+    srt = np.sort(index_arr)
+    return lambda conv: _member_mask(srt, conv)
+
+
+def _gap_orphan_candidates(summ, known_conv_ids, cfg: ValidationConfig):
+    """(gap_convs sorted, orphans) from per-conv partial stats.
+
+    ``summ`` is either a merged pandas DataFrame (driver path — fine when
+    partials fit one node) or a ``ray.data.Dataset`` of per-partition
+    partial rows (the 10^12-turn path): a distributed
+    ``groupby(conv_id)`` re-aggregation followed by a streaming flag filter,
+    so only the CANDIDATE conversations (the anomaly set) ever reach the
+    driver — conversation-count-sized state never does."""
+    member = _membership_checker(known_conv_ids, cfg)
+    if isinstance(summ, pd.DataFrame):
+        gap_flag = (summ["min_t"].to_numpy() != 0) | (
+            summ["max_t"].to_numpy() != summ["n_distinct"].to_numpy() - 1
+        )
+        conv_arr = summ["conv_id"].to_numpy(object)
+        orphan_flag = ~member(conv_arr)
+        return np.sort(conv_arr[gap_flag]), conv_arr[orphan_flag]
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = summ.groupby("conv_id").aggregate(
+        _Sum("n_distinct", alias_name="n_distinct"),
+        _Min("min_t", alias_name="min_t"),
+        _Max("max_t", alias_name="max_t"),
+    )
+    member_ref = ray.put(member)
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        conv = np.asarray(tbl["conv_id"].to_pandas(), dtype=object)
+        nd = tbl["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = tbl["min_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = tbl["max_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gap = (mn != 0) | (mx != nd - 1)
+        orph = ~mem(conv)
+        keep = gap | orph
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep], pa.string()),
+                "gap": pa.array(gap[keep]),
+                "orphan": pa.array(orph[keep]),
+            }
+        )
+
+    flagged = agg.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if not len(flagged):
+        return np.empty(0, dtype=object), np.empty(0, dtype=object)
+    return (
+        np.sort(flagged.loc[flagged.gap, "conv_id"].to_numpy(object)),
+        flagged.loc[flagged.orphan, "conv_id"].to_numpy(object),
+    )
+
+
 def keyspace_from_states(
     blobs: list,
     summ: pd.DataFrame,
@@ -256,25 +354,7 @@ def keyspace_from_states(
     n_ranges = 1 if n_keys < 20_000_000 else max(2, min(64, n_keys // 10_000_000))
     dup_hashes = np.sort(find_dup_hashes(blobs, n_ranges))
 
-    gap_flag = (summ["min_t"].to_numpy() != 0) | (
-        summ["max_t"].to_numpy() != summ["n_distinct"].to_numpy() - 1
-    )
-    conv_arr = summ["conv_id"].to_numpy(object)
-    index_arr = np.asarray(list(known_conv_ids), dtype=object)
-    if len(index_arr) == 0:
-        # no referential side at all → the check is not applicable (an absent
-        # conversations index must not mark every conversation orphaned)
-        orphan_flag = np.zeros(len(conv_arr), dtype=bool)
-    elif len(index_arr) > cfg.orphan_bloom_threshold:
-        # at-scale path: Bloom membership (one-sided — flagged ⇒ truly absent)
-        from ..functions.bloom import BloomFilter
-
-        bf = BloomFilter.from_strings(index_arr)
-        orphan_flag = ~bf.contains_strings(conv_arr)
-    else:
-        orphan_flag = ~_member_mask(np.sort(index_arr), conv_arr)
-    gap_convs = np.sort(conv_arr[gap_flag])
-    orphans = conv_arr[orphan_flag]
+    gap_convs, orphans = _gap_orphan_candidates(summ, known_conv_ids, cfg)
 
     out_frames = []
     if len(orphans):

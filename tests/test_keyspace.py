@@ -131,3 +131,40 @@ def test_validator_writes_sidecar_blobs(ray_session, tmp_path):
         assert len(arr) > 0 and (np.diff(arr.astype(np.int64).view(np.uint64)) >= 0).all() or len(arr) == 0
         # sorted on disk (precondition for memmapped binary search)
         assert (arr[:-1] <= arr[1:]).all()
+
+
+def test_gap_orphan_candidates_dataset_matches_dataframe(ray_session):
+    """The distributed (Dataset) conv-partials path must produce the same
+    gap/orphan candidate sets as the driver (DataFrame) path, for both the
+    sorted-array and the forced-Bloom membership modes."""
+    import numpy as np
+    import pandas as pd
+
+    from teleharvest_ray.stages.keyspace import _gap_orphan_candidates
+
+    rng = np.random.default_rng(17)
+    convs = [f"conv-{i:05d}" for i in range(300)]
+    # per-partition partial rows: some convs split across 2 "partitions"
+    rows = []
+    for i, c in enumerate(convs):
+        n = int(rng.integers(3, 9))
+        # plant gaps in every 13th conv (min_t starts at 1) and split
+        # every 7th conv across two partial rows
+        start = 1 if i % 13 == 0 else 0
+        if i % 7 == 0:
+            h = n // 2
+            rows.append((c, h, start, start + h - 1, h))
+            rows.append((c, n - h, start + h, start + n - 1, n - h))
+        else:
+            rows.append((c, n, start, start + n - 1, n))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "n_distinct", "min_t", "max_t", "n_rows"])
+    known = convs[:250]  # last 50 are orphans
+    merged = pdf.groupby("conv_id", sort=False).agg(
+        n_distinct=("n_distinct", "sum"), min_t=("min_t", "min"),
+        max_t=("max_t", "max"), n_rows=("n_rows", "sum"),
+    ).reset_index()
+    for cfg in (ValidationConfig(), ValidationConfig(orphan_bloom_threshold=1)):
+        g_df, o_df = _gap_orphan_candidates(merged, known, cfg)
+        g_ds, o_ds = _gap_orphan_candidates(rd.from_pandas(pdf), known, cfg)
+        assert set(g_df) == set(g_ds) and len(g_df) > 0
+        assert set(o_df) == set(o_ds) and len(o_df) == 50
