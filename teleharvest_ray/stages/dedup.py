@@ -272,12 +272,45 @@ def verify_pairs_jaccard(
     """Verify candidate pairs with exact n-gram Jaccard. ``id_to_text`` must
     be CANDIDATE-sized (build it with :func:`gather_texts`), never the whole
     corpus — the candidate set is the anomaly set, orders smaller than the
-    data."""
+    data.
+
+    Vectorized end-to-end: shingle-hash sets are computed ONCE per distinct
+    doc (one explode over all texts), then every pair's intersection size
+    falls out of a single lexsort over the exploded (pair, hash) rows — no
+    per-pair Python. Shingles are 64-bit hashes, so values match the exact
+    tuple-set Jaccard up to negligible collision probability."""
     if not len(pairs):
         return pairs.assign(jaccard=pd.Series(dtype="float64"))
-    jac = np.array(
-        [word_ngram_jaccard(id_to_text[a], id_to_text[b], n) for a, b in zip(pairs["id_a"], pairs["id_b"])]
-    )
+    uids = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
+    texts = np.asarray([id_to_text[i] for i in uids], dtype=object)
+    rows, sh = _shingle_hashes(texts, n)
+    # per-doc UNIQUE shingle sets, stored contiguously per doc
+    order = np.lexsort((sh, rows))
+    rows, sh = rows[order], sh[order]
+    dup = np.r_[False, (rows[1:] == rows[:-1]) & (sh[1:] == sh[:-1])]
+    rows, sh = rows[~dup], sh[~dup]
+    sizes = np.bincount(rows, minlength=len(uids))
+    starts = np.searchsorted(rows, np.arange(len(uids)))
+    ai = np.searchsorted(uids, pairs["id_a"].to_numpy())
+    bi = np.searchsorted(uids, pairs["id_b"].to_numpy())
+
+    def explode(side: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lens = sizes[side]
+        tot = int(lens.sum())
+        seg = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.repeat(starts[side], lens) + seg
+        return np.repeat(np.arange(len(side)), lens), sh[idx]
+
+    ta, ha = explode(ai)
+    tb, hb = explode(bi)
+    tag = np.concatenate([ta, tb])
+    hh = np.concatenate([ha, hb])
+    o2 = np.lexsort((hh, tag))
+    tag, hh = tag[o2], hh[o2]
+    hit = np.r_[False, (tag[1:] == tag[:-1]) & (hh[1:] == hh[:-1])]
+    inter = np.bincount(tag[hit], minlength=len(pairs))
+    union = sizes[ai] + sizes[bi] - inter
+    jac = np.where((sizes[ai] == 0) & (sizes[bi] == 0), 1.0, inter / np.maximum(union, 1))
     out = pairs.assign(jaccard=jac)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 

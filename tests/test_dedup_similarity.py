@@ -168,3 +168,29 @@ def test_embedding_near_dup_planted(ray_session):
     ds = rd.from_pandas(df)
     out = dd.embedding_near_dup(ds, "embedding", "vec_id", 0.95, vecs, np.arange(200)).to_pandas()
     assert (3, 150) in set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+
+
+def test_verify_pairs_vectorized_matches_scalar(ray_session, docs):
+    """The lexsort-based pair verification must match the scalar exact
+    n-gram Jaccard pair by pair (no threshold filtering)."""
+    all_ids = docs.doc_id.to_numpy()
+    rng = np.random.default_rng(14)
+    pairs = pd.DataFrame(
+        {
+            "id_a": rng.choice(all_ids, 200),
+            "id_b": rng.choice(all_ids, 200),
+        }
+    )
+    pairs = pairs[pairs.id_a < pairs.id_b].drop_duplicates().reset_index(drop=True)
+    # add the planted near-dup pairs so nontrivial jaccards are covered
+    pairs = pd.concat(
+        [pairs, pd.DataFrame({"id_a": [0, 1, 2, 5], "id_b": [1000, 1001, 1002, 2000]})],
+        ignore_index=True,
+    )
+    lookup = dict(zip(docs.doc_id, docs.text))
+    got = dd.verify_pairs_jaccard(pairs, lookup, threshold=0.0)
+    want = np.array(
+        [dd.word_ngram_jaccard(lookup[a], lookup[b]) for a, b in zip(pairs.id_a, pairs.id_b)]
+    )
+    assert len(got) == len(pairs)
+    assert np.allclose(got.jaccard.to_numpy(), want)
