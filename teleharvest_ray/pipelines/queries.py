@@ -486,7 +486,7 @@ def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
     cust = cust.map_batches(
         lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
     )
-    joined = jn.bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=16)
+    joined = jn.bucketed_hash_join(orders, cust, on="o_custkey")  # n_buckets derived
     out = joined.to_pandas()
     out["o_totalprice"] = out.o_totalprice.round(2)
     return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]].sort_values("o_orderkey").reset_index(drop=True)

@@ -57,11 +57,17 @@ def _pandas_dtypes(ds: Dataset) -> dict:
         return {}
 
 
+#: target rows per join bucket when deriving n_buckets — small enough that a
+#: bucket (both sides) fits comfortably in a worker's heap, large enough that
+#: per-group overhead stays negligible
+_ROWS_PER_BUCKET = 250_000
+
+
 def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
     on: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     how: str = "inner",
 ) -> Dataset:
     """Partitioned hash join via union + one groupby(bucket) shuffle.
@@ -71,7 +77,19 @@ def bucketed_hash_join(
     blocks must share one schema across the unioned stream. The reindex
     promotes the other side's int columns to float (NaN fill); ``join_bucket``
     restores each side's original dtypes after splitting, so join output
-    dtypes match the inputs (a left row's own columns are never NA-filled)."""
+    dtypes match the inputs (a left row's own columns are never NA-filled).
+
+    ``n_buckets=None`` derives the bucket count from the input sizes
+    (~250k rows/bucket, capped at 4096) — skewed keys dilute as buckets
+    grow. NB: derivation calls ``count()``, which is metadata-cheap for
+    parquet reads but executes any pending transforms; pass an explicit
+    ``n_buckets`` when the inputs are expensive pipelines."""
+    if n_buckets is None:
+        try:
+            total = left.count() + right.count()
+        except Exception:
+            total = 0
+        n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     all_cols = lcols + [c for c in rcols if c not in lcols]
