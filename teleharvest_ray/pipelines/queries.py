@@ -464,6 +464,16 @@ def q_similarity_lsh(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "vec_id"]].astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_similarity_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF (inverted-file) approximate variant: sampled spherical k-means
+    coarse quantizer, per-batch centroid assignment, n_probe nearest lists
+    per query (rows-only; recall measured in tests)."""
+    qm, qids = _load_queries(sf_dir)
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(ds, qm, qids, TOP_K, n_centroids=32, n_probe=8)
+    return out[["query_id", "rank", "vec_id"]].astype("int64").sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # joins / sorts — customer/nation/region/orders
 # ---------------------------------------------------------------------------
@@ -555,6 +565,7 @@ QUERIES = {
     "q_near_dup_embedding": q_near_dup_embedding,
     "q_similarity_topk": q_similarity_topk,
     "q_similarity_lsh": q_similarity_lsh,
+    "q_similarity_ivf": q_similarity_ivf,
     "q_join_enrich": q_join_enrich,
     "q_join_orders_customer": q_join_orders_customer,
     "q_orphan_customers": q_orphan_customers,

@@ -194,3 +194,23 @@ def test_verify_pairs_vectorized_matches_scalar(ray_session, docs):
     )
     assert len(got) == len(pairs)
     assert np.allclose(got.jaccard.to_numpy(), want)
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF probes a fraction of centroid lists yet keeps high recall on
+    clustered data; a full-probe run must equal the exact top-k."""
+    rng = np.random.default_rng(19)
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((80, 32)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    q = vecs[:8]
+    exact = sim.topk_cosine(ds, q, np.arange(8), k=5)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    approx = sim.ivf_topk(ds, q, np.arange(8), k=5, n_centroids=16, n_probe=4, sample=640)
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    assert len(e & a) / len(e) >= 0.8, len(e & a) / len(e)
+    # probing every list == exact search
+    full = sim.ivf_topk(ds, q, np.arange(8), k=5, n_centroids=16, n_probe=16, sample=640)
+    f = set(map(tuple, full[["query_id", "vec_id"]].itertuples(index=False)))
+    assert f == e
