@@ -98,11 +98,16 @@ def scaling() -> None:
     with zero Ray involvement — see BASELINE.md), so 8->32 measures the
     node's memory system, not the engine. The 8 vs 32 pair is reported as a
     secondary data point alongside that hardware control."""
-    results = {}
-    for ncpu in (2, 8, 32):
+    # median-of-3 on the primary 2->8 pair (single-run wall variance is up
+    # to 6x here, and a median is robust where best-of-N is optimistic);
+    # the saturated 8->32 secondary pair gets 2 samples
+    samples = {2: 3, 8: 3, 32: 2}
+    results: dict[int, dict] = {}
+    all_secs: dict[int, list] = {}
+    for ncpu, n_runs in samples.items():
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        best = None
-        for _ in range(2):  # best-of-2: single-run wall variance is up to 6x here
+        runs = []
+        for _ in range(n_runs):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -110,17 +115,21 @@ def scaling() -> None:
                 text=True,
                 check=True,
             ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        results[ncpu] = best
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        runs.sort(key=lambda r: r["value"])
+        results[ncpu] = runs[len(runs) // 2]  # median by headline wall time
+        all_secs[ncpu] = [r["value"] for r in runs]
     t2, t8, t32 = results[2]["value"], results[8]["value"], results[32]["value"]
     print(
         json.dumps(
             {
+                "protocol": "median-of-3 (2,8 cpus) / median-of-2 (32)",
                 "sec_2": t2,
                 "sec_8": t8,
                 "sec_32": t32,
+                "all_sec_2": all_secs[2],
+                "all_sec_8": all_secs[8],
+                "all_sec_32": all_secs[32],
                 "turns_per_sec_2": results[2]["turns_per_sec"],
                 "turns_per_sec_8": results[8]["turns_per_sec"],
                 "turns_per_sec_32": results[32]["turns_per_sec"],
@@ -135,8 +144,73 @@ def scaling() -> None:
     )
 
 
+def big_run() -> None:
+    """One headline validation over the LARGE cached dataset (default 11M
+    turns / 256 files) at RAY_GRAFT_CPUS — the --scaling-big worker."""
+    rows = int(os.environ.get("GRAFT_BIG_ROWS", "11000000"))
+    files = int(os.environ.get("GRAFT_BIG_FILES", "256"))
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from teleharvest_ray.config import ValidationConfig
+    from teleharvest_ray.pipelines.validate import run_validation
+    from teleharvest_ray.sources.datagen import GenSpec, generate
+
+    data = f"/tmp/teleharvest_synth/big{rows}"
+    if not os.path.exists(os.path.join(data, "manifest.json")):
+        generate(data, GenSpec(rows_hint=rows, n_files=files, seed=42, hot_conv=True))
+    import ray.data as _rd
+
+    _rd.range(4096).map_batches(lambda b: b, batch_size=128).materialize()
+    out = f"/tmp/teleharvest_out/big{rows}_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_validation(data, out, ValidationConfig(), write_annotated=False)
+    wall = round(time.perf_counter() - t0, 3)
+    n_rows = json.load(open(os.path.join(data, "manifest.json")))["n_rows"]
+    print(json.dumps({"value": wall, "rows": n_rows, "num_cpus": num_cpus,
+                      "turns_per_sec": round(n_rows / wall, 1)}))
+    ray.shutdown()
+
+
+def scaling_big() -> None:
+    """2-vs-8 CPU pair on the 11M-turn input: at this size the fixed setup
+    (~5-10 s of actor spin-up + phase-2 epilogue) amortizes, so the pair
+    isolates the engine's compute scaling from per-run overhead. One sample
+    per level (a 2-CPU run is ~7 min); read next to --scaling's medians."""
+    results = {}
+    for ncpu in (2, 8):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--big"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t2, t8 = results[2]["value"], results[8]["value"]
+    print(json.dumps({
+        "rows": results[8]["rows"],
+        "sec_2": t2, "sec_8": t8,
+        "turns_per_sec_2": results[2]["turns_per_sec"],
+        "turns_per_sec_8": results[8]["turns_per_sec"],
+        "scaling_efficiency_2_to_8": round((t2 / t8) / 4, 3),
+    }))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-big" in sys.argv:
+        scaling_big()
+    elif "--big" in sys.argv:
+        big_run()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()

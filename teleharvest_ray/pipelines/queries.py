@@ -724,19 +724,33 @@ def q_word_count(sf_dir: str) -> pd.DataFrame:
 
 def q_latest_events(sf_dir: str) -> pd.DataFrame:
     """Latest-k per entity (O3: the reference's latest-limit fetch,
-    services/telegram_service.py:39): per-batch top-k partials, then exact
-    top-k per user over the (tiny) partial set."""
+    services/telegram_service.py:39): per-batch top-k partials bound the
+    shuffle to users×K×blocks rows, then the exact per-user top-k finishes
+    DISTRIBUTED — users hash into buckets, each bucket ranks its users
+    vectorized — so no users-sized merge ever runs on the driver; only the
+    final users×K result rows collect."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id"])
     K = 3
+    N_BUCKETS = 16
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values("event_id", ascending=False).groupby("user_id", sort=False).head(K)
+        out = batch.sort_values("event_id", ascending=False).groupby("user_id", sort=False).head(K)
+        out = out.copy()
+        out["__b"] = (out.user_id.to_numpy() % N_BUCKETS).astype(np.int32)
+        return out
 
-    cands = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
-    cands = cands.sort_values("event_id", ascending=False)
-    out = cands.groupby("user_id", sort=False).head(K).copy()
-    out["rnk"] = out.groupby("user_id").cumcount() + 1
-    return out.sort_values(["user_id", "rnk"]).reset_index(drop=True)[["user_id", "rnk", "event_id"]]
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], ascending=[True, False])
+        g["rnk"] = g.groupby("user_id", sort=False).cumcount() + 1
+        return g[g.rnk <= K][["user_id", "rnk", "event_id"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "rnk"]).reset_index(drop=True)
 
 
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
@@ -990,6 +1004,122 @@ def q_nation_order_stats(sf_dir: str) -> pd.DataFrame:
     out["total"] = out.total.round(2)
     return out.sort_values("n_name").reset_index(drop=True)
 
+
+def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1-hour window, 15-minute hop, events per (user, window): each
+    event flat-maps to its 4 containing windows inside map_batches (np.repeat
+    — the vectorized flat_map shape), then a grouped count."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    HOP, SPAN = 900, 4  # seconds, windows per event
+
+    def explode_windows(tbl: pa.Table) -> pa.Table:
+        sec = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = sec // HOP
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        j = np.tile(np.arange(SPAN, dtype=np.int64), len(sec))
+        win_start = (np.repeat(base, SPAN) - j) * HOP
+        return pa.table(
+            {"user_id": pa.array(np.repeat(uid, SPAN)), "win_start": pa.array(win_start)}
+        )
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "win_start"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+
+
+def q_median_len_by_lang(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group median via a mergeable counting distribution: per-batch
+    (lang, len) counts pre-aggregate before ONE small shuffle; the exact
+    quantile_cont(0.5) is read off the merged per-length counts (result-sized
+    — the G6 length-histogram stat upgraded to exact medians)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False)
+        ln = np.where(pd.isna(ln), 0, ln).astype(np.int64)
+        df = pd.DataFrame({"lang": np.asarray(tbl["lang"].to_pandas(), dtype=object), "len": ln})
+        g = df.groupby(["lang", "len"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "len"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("len")
+        c = g.n.to_numpy()
+        lens = g.len.to_numpy()
+        cum = np.cumsum(c)
+        total = cum[-1]
+        lo = lens[np.searchsorted(cum, (total + 1) // 2, side="left")]
+        hi = lens[np.searchsorted(cum, total // 2 + 1, side="left")]
+        rows.append({"lang": lang, "median_len": (float(lo) + float(hi)) / 2.0})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(nation, year) revenue: base grouped aggregate computed
+    distributed (broadcast dims, per-batch partials), subtotal levels derived
+    from the (small) base result — the hierarchical-aggregate shape. Sentinel
+    values ('ALL', -1) stand in for grouping NULLs on both sides."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    import ray as _ray
+
+    cn_ref = _ray.put(dict(zip(cn.c_custkey, cn.n_name)))
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        m = _ray.get(cn_ref)
+        batch = batch.assign(
+            n_name=batch.o_custkey.map(m), yr=batch.o_orderdate.dt.year.astype("int64")
+        )
+        g = batch.groupby(["n_name", "yr"], sort=False)["o_totalprice"].sum().reset_index(name="total")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["n_name", "yr"])
+        .aggregate(Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    lvl1 = base.groupby("n_name", as_index=False)["total"].sum()
+    lvl1["yr"] = np.int64(-1)
+    tot = pd.DataFrame([{"n_name": "ALL", "yr": np.int64(-1), "total": base.total.sum()}])
+    out = pd.concat([base, lvl1, tot], ignore_index=True)
+    out["total"] = out.total.round(2)
+    return out[["n_name", "yr", "total"]].sort_values(["n_name", "yr"]).reset_index(drop=True)
+
+
+QUERIES["q_sliding_windows"] = q_sliding_windows
+QUERIES["q_median_len_by_lang"] = q_median_len_by_lang
+QUERIES["q_revenue_rollup"] = q_revenue_rollup
+ORACLE_SQL["q_sliding_windows"] = """
+    SELECT user_id, (epoch_us(ts) // 1000000 // 900 - j) * 900 AS win_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) offsets
+    GROUP BY 1, 2
+"""
+ORACLE_SQL["q_median_len_by_lang"] = """
+    SELECT lang, median(length(text)) AS median_len
+    FROM documents GROUP BY lang
+"""
+ORACLE_SQL["q_revenue_rollup"] = """
+    SELECT COALESCE(n_name, 'ALL') AS n_name,
+           CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS yr,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, year(o_orderdate))
+"""
 
 QUERIES["q_segment_revenue"] = q_segment_revenue
 QUERIES["q_nation_order_stats"] = q_nation_order_stats

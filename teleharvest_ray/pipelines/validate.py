@@ -391,9 +391,18 @@ def run_validation(
         if len(usable) == len(pids):
             # both halves of the keyspace state stay on disk: blob PATHS go
             # to the range-merge tasks, and the conv partial sidecars stream
-            # through a distributed groupby — the driver sees only candidates
+            # through a distributed groupby — the driver sees only candidates.
+            # Below a size threshold the partials merge driver-side instead:
+            # a Ray groupby costs seconds of fixed overhead that dwarfs a
+            # small pandas merge (same dispatch pattern as embedding_near_dup;
+            # equivalence of the two paths is test-asserted).
             blobs = [all_records[pid]["keyspace_blob"] for pid in pids]
-            summ = rd.read_parquet([all_records[pid]["keyspace_conv_path"] for pid in pids])
+            conv_paths = [all_records[pid]["keyspace_conv_path"] for pid in pids]
+            n_partial_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in conv_paths)
+            if n_partial_rows < 2_000_000:
+                summ = merge_conv_partials([pq.read_table(p).to_pandas() for p in conv_paths])
+            else:
+                summ = rd.read_parquet(conv_paths)
             gvio = keyspace_from_states(blobs, summ, turns, known, cfg)
         else:  # records from an older run without sidecar state: full scan
             gvio = keyspace_checks(turns, known, cfg)
