@@ -168,3 +168,21 @@ def test_gap_orphan_candidates_dataset_matches_dataframe(ray_session):
         g_ds, o_ds = _gap_orphan_candidates(rd.from_pandas(pdf), known, cfg)
         assert set(g_df) == set(g_ds) and len(g_df) > 0
         assert set(o_df) == set(o_ds) and len(o_df) == 50
+
+
+def test_lineage_records_stay_small(ray_session, tmp_path):
+    """Lineage records must hold paths/digests, never blob bytes: record
+    size stays a few KB regardless of partition row count (the driver holds
+    n_partitions × KB, not × rows)."""
+    import glob
+    import os
+
+    from teleharvest_ray.pipelines.validate import run_validation
+
+    d = str(tmp_path / "recdata")
+    generate(d, GenSpec(rows_hint=40_000, n_files=2, seed=12))
+    out = str(tmp_path / "recout")
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    recs = glob.glob(os.path.join(out, "checkpoints", "part-*.json"))
+    assert len(recs) == 2
+    assert all(os.path.getsize(r) < 50_000 for r in recs), [os.path.getsize(r) for r in recs]
