@@ -98,10 +98,10 @@ def scaling() -> None:
     with zero Ray involvement — see BASELINE.md), so 8->32 measures the
     node's memory system, not the engine. The 8 vs 32 pair is reported as a
     secondary data point alongside that hardware control."""
-    # median-of-3 on the primary 2->8 pair (single-run wall variance is up
-    # to 6x here, and a median is robust where best-of-N is optimistic);
-    # the saturated 8->32 secondary pair gets 2 samples
-    samples = {2: 3, 8: 3, 32: 2}
+    # median-of-3 at every level (single-run wall variance is up to 6x here,
+    # and a median is robust where best-of-N is optimistic; an even sample
+    # count has no true median — runs[n//2] would report the worse of 2)
+    samples = {2: 3, 8: 3, 32: 3}
     results: dict[int, dict] = {}
     all_secs: dict[int, list] = {}
     for ncpu, n_runs in samples.items():
@@ -123,7 +123,7 @@ def scaling() -> None:
     print(
         json.dumps(
             {
-                "protocol": "median-of-3 (2,8 cpus) / median-of-2 (32)",
+                "protocol": "median-of-3 per level (2, 8, 32 cpus)",
                 "sec_2": t2,
                 "sec_8": t8,
                 "sec_32": t32,
@@ -165,7 +165,7 @@ def big_run() -> None:
     from teleharvest_ray.pipelines.validate import run_validation
     from teleharvest_ray.sources.datagen import GenSpec, generate
 
-    data = f"/tmp/teleharvest_synth/big{rows}"
+    data = f"/tmp/teleharvest_synth/big{rows}x{files}"  # cache keyed on full shape
     if not os.path.exists(os.path.join(data, "manifest.json")):
         generate(data, GenSpec(rows_hint=rows, n_files=files, seed=42, hot_conv=True))
     import ray.data as _rd

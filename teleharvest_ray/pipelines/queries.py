@@ -496,7 +496,9 @@ def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
     cust = cust.map_batches(
         lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
     )
-    joined = jn.bucketed_hash_join(orders, cust, on="o_custkey")  # n_buckets derived
+    # explicit n_buckets: the cust side has a pending map_batches rename, so
+    # letting the join derive buckets via count() would execute it twice
+    joined = jn.bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=32)
     out = joined.to_pandas()
     out["o_totalprice"] = out.o_totalprice.round(2)
     return out[["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]].sort_values("o_orderkey").reset_index(drop=True)
@@ -1039,10 +1041,17 @@ def q_median_len_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
 
     def partial(tbl: pa.Table) -> pa.Table:
+        # oracle parity: median(length(text)) IGNORES null texts, and
+        # GROUP BY lang keeps a NULL-lang group (dropna=False)
         ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False)
-        ln = np.where(pd.isna(ln), 0, ln).astype(np.int64)
-        df = pd.DataFrame({"lang": np.asarray(tbl["lang"].to_pandas(), dtype=object), "len": ln})
-        g = df.groupby(["lang", "len"], sort=False).size().reset_index(name="n")
+        ok = ~pd.isna(ln)
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(tbl["lang"].to_pandas(), dtype=object)[ok],
+                "len": ln[ok].astype(np.int64),
+            }
+        )
+        g = df.groupby(["lang", "len"], sort=False, dropna=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     counts = (
@@ -1052,7 +1061,7 @@ def q_median_len_by_lang(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     rows = []
-    for lang, g in counts.groupby("lang"):
+    for lang, g in counts.groupby("lang", dropna=False):
         g = g.sort_values("len")
         c = g.n.to_numpy()
         lens = g.len.to_numpy()

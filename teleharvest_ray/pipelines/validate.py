@@ -152,14 +152,15 @@ class PartitionValidator:
                 prev_rows = int(old.get("rows_scanned", 0))
                 if old.get("sketch_state"):
                     stats = merge_stats(stats_from_bytes(old["sketch_state"]), stats)
+                # scheduling only emits start_row>0 when both sidecars exist
+                # (run_validation's has_state guard) — older record formats
+                # take the full-rescan path instead of a lossy delta
                 ob = old.get("keyspace_blob")
                 if ob and os.path.exists(ob):
                     ks_blobs.insert(0, np.fromfile(ob, dtype=np.uint64).tobytes())
                 oc = old.get("keyspace_conv_path")
                 if oc and os.path.exists(oc):
                     ks_convs.insert(0, pq.read_table(oc).to_pandas())
-                elif old.get("keyspace_conv"):  # pre-sidecar record format
-                    ks_convs.insert(0, pickle.loads(zlib.decompress(old["keyspace_conv"])))
 
         # key-space state piggybacks on this (only) scan of the partition so
         # phase 2 never re-reads validated data (SURVEY §4 shuffle-minimization).
@@ -238,6 +239,8 @@ class PartitionValidator:
             "keyspace_blob": blob_path,
             "keyspace_digest": blob_digest,
             "input_file": path,
+            "input_size": os.stat(path).st_size,
+            "input_mtime": os.stat(path).st_mtime,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
 
@@ -306,11 +309,28 @@ def run_validation(
         if rec is None:
             todo.append({"path": f, "pid": p, "start_row": 0})
             continue
+        # cheap stat pre-filter: footer only opens when size/mtime moved, so
+        # an unchanged 100k-file resume costs 100k stats, not footer reads
+        st = os.stat(f)
+        if rec.get("input_size") == st.st_size and rec.get("input_mtime") == st.st_mtime:
+            continue
         n_now = pq.ParquetFile(f).metadata.num_rows
         n_rec = int(rec.get("rows_scanned", 0))
-        if n_now != n_rec:
-            todo.append({"path": f, "pid": p, "start_row": n_rec if n_now > n_rec else 0})
-            done.pop(p)
+        if n_now == n_rec:
+            continue
+        # delta revalidation needs the prefix's sidecar state to merge into;
+        # records without it (older formats, or sidecars gone from disk)
+        # fall back to a full rescan — NEVER a delta that would silently
+        # drop the prefix's key hashes and conv partials
+        has_state = (
+            rec.get("keyspace_blob")
+            and os.path.exists(rec["keyspace_blob"])
+            and rec.get("keyspace_conv_path")
+            and os.path.exists(rec["keyspace_conv_path"])
+        )
+        start = n_rec if (n_now > n_rec and has_state) else 0
+        todo.append({"path": f, "pid": p, "start_row": start})
+        done.pop(p)
     n_resumed = len(files) - len(todo)
     new_records = []
     if todo:

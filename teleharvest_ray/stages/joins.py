@@ -97,10 +97,26 @@ def bucketed_hash_join(
     rdtypes = _pandas_dtypes(right)
     out_cols = lcols + [(c if c not in lcols else c + "_r") for c in rcols if c != on]
     out_dtypes = dict(ldtypes)
+    rnames = {}
     for c in rcols:
         if c == on:
             continue
-        out_dtypes[c if c not in lcols else c + "_r"] = rdtypes.get(c, np.dtype("O"))
+        rnames[c] = c if c not in lcols else c + "_r"
+        out_dtypes[rnames[c]] = rdtypes.get(c, np.dtype("O"))
+    # Non-inner joins NA-fill the unmatched side; promote that side's int /
+    # bool output columns to float64 UP FRONT so every bucket emits the same
+    # schema (otherwise a fully-matched bucket keeps int64 while a bucket
+    # with misses promotes — inconsistent blocks in one Dataset).
+    if how != "inner":
+        na_cols = set()
+        if how in ("left", "outer"):
+            na_cols |= set(rnames.values())
+        if how in ("right", "outer"):
+            na_cols |= {c for c in lcols if c != on}
+        for c in na_cols:
+            dt = out_dtypes.get(c)
+            if dt is not None and (np.issubdtype(dt, np.integer) or dt == np.dtype(bool)):
+                out_dtypes[c] = np.dtype("float64")
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -132,7 +148,9 @@ def bucketed_hash_join(
         out = l.merge(r, on=on, how=how, suffixes=("", "_r"))
         if not len(out):
             return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
-        return out
+        # apply the deterministic output dtype map (promoted for non-inner)
+        # so every bucket's block carries the identical schema
+        return _restore(out, out_dtypes)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

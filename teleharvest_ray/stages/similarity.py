@@ -89,7 +89,15 @@ def _blockwise_topk_pairs(q, qids, vecs, ids, k, match_fn, block: int = 512):
         if not len(bqi):
             continue
         gqi = bqi + s0
-        sims = np.einsum("ij,ij->i", q[gqi], vecs[vi])
+        # chunk the fancy-index gathers: at high match density (IVF with a
+        # generous n_probe) n_pairs × dim × 16 B of gathered copies would
+        # spike actor memory; chunking bounds the transient at ~130 MB while
+        # the per-pair sims array itself stays 8 B/pair
+        sims = np.empty(len(gqi))
+        chunk = max(16_384, 8_000_000 // max(q.shape[1], 1))
+        for c0 in range(0, len(gqi), chunk):
+            c1 = min(c0 + chunk, len(gqi))
+            sims[c0:c1] = np.einsum("ij,ij->i", q[gqi[c0:c1]], vecs[vi[c0:c1]])
         cand = ids[vi]
         nonself = cand != qids[gqi]
         gqi, cand, sims = gqi[nonself], cand[nonself], sims[nonself]

@@ -214,3 +214,22 @@ def test_ivf_topk_recall(ray_session):
     full = sim.ivf_topk(ds, q, np.arange(8), k=5, n_centroids=16, n_probe=16, sample=640)
     f = set(map(tuple, full[["query_id", "vec_id"]].itertuples(index=False)))
     assert f == e
+
+
+def test_bucketed_left_join_consistent_schema(ray_session):
+    """Non-inner joins must emit ONE schema across buckets: the NA-fillable
+    side's int columns promote to float64 up front, whether or not a given
+    bucket happens to contain unmatched keys."""
+    import ray.data as rd2
+
+    from teleharvest_ray.stages.joins import bucketed_hash_join
+
+    left = rd2.from_pandas(pd.DataFrame({"k": np.arange(1000), "lv": np.arange(1000) * 2}))
+    right = rd2.from_pandas(pd.DataFrame({"k": np.arange(0, 1000, 2), "rv": np.arange(500)}))
+    out = bucketed_hash_join(left, right, on="k", n_buckets=8, how="left").to_pandas()
+    assert len(out) == 1000
+    assert str(out["rv"].dtype) == "float64"  # NA-fillable side promoted uniformly
+    assert str(out["lv"].dtype) == "int64"  # left side never NA in a left join
+    matched = out[out.k % 2 == 0]
+    assert (matched.sort_values("k").rv.to_numpy() == np.arange(500)).all()
+    assert out[out.k % 2 == 1].rv.isna().all()

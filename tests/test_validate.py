@@ -157,3 +157,41 @@ def test_capability_probe_disables_scoring(ray_session, tmp_path):
     out_ctl = str(tmp_path / "ctl_out")
     run_validation(d, out_ctl, ValidationConfig(), write_annotated=False)
     assert _vio_set(read_violations(out_ok)) == _vio_set(read_violations(out_ctl))
+
+
+def test_grown_partition_without_sidecars_full_rescans(ray_session, tmp_path):
+    """A record lacking usable sidecar state (older format / files removed)
+    must trigger a FULL rescan of a grown partition, never a lossy delta."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    d = str(tmp_path / "oldfmt")
+    generate(d, GenSpec(n_convs=40, n_files=2, seed=33))
+    out = str(tmp_path / "oldfmt_out")
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    # simulate an older-release record: drop the sidecar files
+    for f in _glob.glob(os.path.join(out, "keyspace", "part-00001-*")):
+        os.unlink(f)
+    # grow the partition with a duplicate of an existing key — only a full
+    # rescan (or prefix state) can catch a dup spanning prefix and delta
+    p = os.path.join(d, "part-00001.parquet")
+    old = pq.read_table(p)
+    dup_conv = old["conv_id"][0].as_py()
+    ap = pd.DataFrame(
+        {
+            "conv_id": [dup_conv],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["x " * 150],
+            "tool": [None],
+            "ts": pd.to_datetime(["2024-02-01T00:00:00"]),
+            "views": [1000],
+            "reactions": [100],
+            "forwards": [1],
+        }
+    )
+    pq.write_table(pa.concat_tables([old, pa.Table.from_pandas(ap, schema=old.schema, preserve_index=False)]), p)
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    got = read_violations(out)
+    assert (dup_conv, 0, "dup_key") in _vio_set(got)
