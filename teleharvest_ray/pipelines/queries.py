@@ -1108,6 +1108,97 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out[["n_name", "yr", "total"]].sort_values(["n_name", "yr"]).reset_index(drop=True)
 
 
+def q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test hash split over documents (rows-only:
+    keyed-hash assignment isn't SQL-expressible; the split invariants —
+    disjoint, complete, order-independent — are property-tested)."""
+    from ..stages import sampling as sp
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    out = (
+        sp.hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def q_mod_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 7% corpus sample by key residue (the oracle-checkable
+    twin of bernoulli_sample — same shape, modulo instead of hash)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(ids % 100 < 7))
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "lang": pd.Series(dtype="object")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_zscore_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group normalization (split-apply-combine broadcast): per-batch
+    (n, sum, sumsq) partials per lang → tiny merge → broadcast group stats
+    back through a streaming map. The canonical two-pass normalize that at
+    100 TB costs two pruned scans and zero shuffles of the data."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {"lang": np.asarray(tbl["lang"].to_pandas(), dtype=object), "x": ln, "x2": ln * ln}
+        )
+        g = df.groupby("lang", sort=False).agg(n=("x", "count"), s=("x", "sum"), ss=("x2", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss"))
+        .to_pandas()
+    )
+    stats["mean"] = stats.s / stats.n
+    stats["std"] = np.sqrt(np.maximum(stats.ss - stats.s**2 / stats.n, 0.0) / np.maximum(stats.n - 1, 1))
+    import ray as _ray
+
+    stats_ref = _ray.put(
+        (dict(zip(stats.lang, stats["mean"])), dict(zip(stats.lang, stats["std"])))
+    )
+
+    def zmap(tbl: pa.Table) -> pa.Table:
+        mean_map, std_map = _ray.get(stats_ref)
+        lang = pd.Series(np.asarray(tbl["lang"].to_pandas(), dtype=object))
+        ln = pc.utf8_length(tbl["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = lang.map(mean_map).to_numpy(dtype=np.float64)
+        std = lang.map(std_map).to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(std > 0, (ln - mean) / std, np.nan)
+        return pa.table({"doc_id": tbl["doc_id"], "z": pa.array(np.round(z, 4), from_pandas=True)})
+
+    return (
+        ds.map_batches(zmap, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["q_split_counts"] = q_split_counts
+QUERIES["q_mod_sample"] = q_mod_sample
+QUERIES["q_zscore_by_lang"] = q_zscore_by_lang
+ORACLE_SQL["q_mod_sample"] = """
+    SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 7
+"""
+ORACLE_SQL["q_zscore_by_lang"] = """
+    SELECT doc_id,
+           ROUND((length(text) - AVG(length(text)) OVER (PARTITION BY lang))
+                 / STDDEV(length(text)) OVER (PARTITION BY lang), 4) AS z
+    FROM documents
+"""
+
 QUERIES["q_sliding_windows"] = q_sliding_windows
 QUERIES["q_median_len_by_lang"] = q_median_len_by_lang
 QUERIES["q_revenue_rollup"] = q_revenue_rollup

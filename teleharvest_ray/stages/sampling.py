@@ -1,0 +1,112 @@
+"""Deterministic sampling and dataset splitting.
+
+A training-data pipeline needs reproducible corpus subsetting: train/val/test
+splits that are STABLE under re-runs, repartitioning and appends (a doc's
+split must depend only on its key, never on row order or worker count), plus
+bounded uniform samples for eval sets. Three operators, all streaming:
+
+- :func:`hash_split` — key-hash split assignment (the industry-standard
+  deterministic split: hash(key) mod 10^6 against cumulative fraction
+  boundaries). Order/partitioning-independent by construction.
+- :func:`bernoulli_sample` — per-row keep decision from the same keyed hash
+  (p fraction), one pruned streaming pass, no shuffle.
+- :func:`reservoir_sample` — exact-size uniform sample without replacement:
+  per-block reservoirs with block weights merged in one driver step over
+  block-level candidates (k × n_blocks rows — candidate-sized, never data).
+
+The reference has no sampling surface (it processes every fetched row,
+``processor.py:76``); these extend SURVEY §2 the same way the dedup toolkit
+does — capabilities the 100 TB target needs that the reference's scale never
+did.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.hashing import hash_strings, splitmix64
+
+_RES = np.uint64(1_000_000)  # split-boundary resolution
+
+
+def _key_hash_u64(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(np.asarray(vals).dtype, np.integer):
+        with np.errstate(over="ignore"):
+            return splitmix64(vals.astype(np.int64).view(np.uint64) ^ np.uint64(seed))
+    h = hash_strings(np.asarray(vals, dtype=object))
+    with np.errstate(over="ignore"):
+        return splitmix64(h ^ np.uint64(seed))
+
+
+def hash_split(
+    ds: Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 97,
+) -> Dataset:
+    """Append a ``split`` column: deterministic assignment by keyed hash.
+
+    ``fractions`` maps split name → fraction (must sum to ~1). Every row with
+    the same key lands in the same split, on any cluster size, in any order —
+    and an appended row joins its split without reshuffling anything."""
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names])
+    if not np.isclose(bounds[-1], 1.0):
+        raise ValueError(f"fractions must sum to 1, got {bounds[-1]}")
+    edges = (bounds * float(_RES)).astype(np.uint64)
+    edges[-1] = _RES  # close the last bucket against float rounding
+    names_arr = np.asarray(names, dtype=object)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        h = _key_hash_u64(tbl[key_col], seed) % _RES
+        idx = np.searchsorted(edges, h, side="right")
+        return tbl.append_column("split", pa.array(names_arr[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def bernoulli_sample(ds: Dataset, key_col: str, p: float, seed: int = 131) -> Dataset:
+    """Keep each row iff its keyed hash falls under ``p`` — a deterministic,
+    shuffle-free streaming sample (same row always makes the same decision)."""
+    cut = np.uint64(int(p * float(_RES)))
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        h = _key_hash_u64(tbl[key_col], seed) % _RES
+        return tbl.filter(pa.array(h < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def reservoir_sample(ds: Dataset, k: int, seed: int = 211) -> pd.DataFrame:
+    """Exact uniform k-sample without replacement, deterministic given seed.
+
+    Distributed shape: each block tags its rows with priorities from a
+    content+position-seeded generator and emits only its local top-k
+    (priority-sampling / bottom-k equivalence: global top-k priorities form
+    a uniform sample). The driver merge sees ≤ k × n_blocks candidate rows."""
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column("__prio", pa.array([], pa.float64()))
+        # deterministic per-row priorities: seeded by a PROCESS-STABLE block
+        # content hash (builtin hash() is PYTHONHASHSEED-randomized across
+        # worker processes) so re-runs reproduce, and identical rows in
+        # different blocks still draw distinct priorities
+        first = str(tbl.slice(0, 1).to_pydict())
+        block_tag = int(hash_strings(np.asarray([first], dtype=object))[0] & np.uint64(0x7FFFFFFF))
+        rng = np.random.default_rng((seed, block_tag, n))
+        prio = rng.random(n)
+        kk = min(k, n)
+        top = np.argpartition(prio, kk - 1)[:kk]
+        out = tbl.take(pa.array(np.sort(top)))
+        return out.append_column("__prio", pa.array(prio[np.sort(top)]))
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values("__prio").head(k)
+    return cands.drop(columns="__prio").reset_index(drop=True)
