@@ -1186,6 +1186,29 @@ def q_zscore_by_lang(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pack_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sequence packing over documents (rows-only: shard ids
+    derive from block hashes; budget/coverage invariants property-tested).
+    Returns per-shard fill stats, shuffled once on the (tiny) shard key."""
+    from ..stages import sampling as sp
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_tokens(tbl: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(tbl["text"], pattern=r"\s+"))
+        return pa.table({"doc_id": tbl["doc_id"], "tokens": toks.cast(pa.int64())})
+
+    with_tokens = ds.map_batches(add_tokens, batch_format="pyarrow", batch_size=None)
+    packed = sp.pack_sequences(with_tokens, "doc_id", "tokens", budget=2048)
+    out = (
+        packed.groupby("shard_id")
+        .aggregate(Count(alias_name="n_docs"), Sum("tokens", alias_name="shard_tokens"))
+        .to_pandas()
+    )
+    return out.sort_values("shard_id").reset_index(drop=True)
+
+
+QUERIES["q_pack_shards"] = q_pack_shards
 QUERIES["q_split_counts"] = q_split_counts
 QUERIES["q_mod_sample"] = q_mod_sample
 QUERIES["q_zscore_by_lang"] = q_zscore_by_lang

@@ -110,3 +110,61 @@ def reservoir_sample(ds: Dataset, k: int, seed: int = 211) -> pd.DataFrame:
     cands = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     cands = cands.sort_values("__prio").head(k)
     return cands.drop(columns="__prio").reset_index(drop=True)
+
+
+def pack_sequences(
+    ds: Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> Dataset:
+    """Pack rows into token-budget shards (training-batch packing),
+    partition-local: each block packs its own rows with next-fit-decreasing
+    and emits globally-unique shard ids ``<block_tag>-<local_shard>``.
+
+    Packing is a prefix-dependent recurrence, so the per-block assignment is
+    a scalar O(n) loop — deliberate: it runs INSIDE the distributed map (a
+    few million rows/s per core, never on the driver), and blocks pack
+    independently so the operator scales with partitions. Rows larger than
+    the budget get a singleton shard (flagged downstream by their size)."""
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column(shard_col, pa.array([], pa.string()))
+        toks = tbl[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(-toks, kind="stable")  # next-fit-DECREASING
+        shard_local = np.empty(n, dtype=np.int64)
+        cur, used = 0, 0
+        for i in order:
+            t = int(toks[i])
+            if used and used + t > budget:
+                cur += 1
+                used = 0
+            shard_local[i] = cur
+            used += t
+        tag = str(tbl.slice(0, 1).to_pydict())
+        block_tag = int(hash_strings(np.asarray([tag], dtype=object))[0] & np.uint64(0xFFFFFFFF))
+        ids = np.array([f"{block_tag:08x}-{s}" for s in shard_local], dtype=object)
+        return tbl.append_column(shard_col, pa.array(ids, pa.string()))
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def export_splits(ds: Dataset, key_col: str, fractions: dict[str, float], out_dir: str, seed: int = 97) -> dict:
+    """Materialize a hash split as one parquet directory per split (the
+    resumable training-corpus layout: each split directory is independently
+    consumable and a re-run overwrites it whole). Each split is a vectorized
+    Arrow filter over the assigned stream — no per-row Python, no shuffle."""
+    import os
+
+    import pyarrow.compute as pc
+
+    assigned = hash_split(ds, key_col, fractions, seed)
+    for name in fractions:
+        sub = assigned.map_batches(
+            lambda t, n=name: t.filter(pc.equal(t["split"], n)), batch_format="pyarrow"
+        )
+        sub.write_parquet(os.path.join(out_dir, f"split={name}"))
+    return {"out_dir": out_dir, "splits": list(fractions)}

@@ -66,3 +66,42 @@ def test_reservoir_sample_exact_k_and_deterministic(ray_session, ids_df):
     # k >= n returns everything
     small = rd.from_pandas(ids_df.head(100))
     assert len(sp.reservoir_sample(small, 500)) == 100
+
+
+def test_pack_sequences_budget_and_coverage(ray_session):
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"doc_id": np.arange(5000), "tokens": rng.integers(10, 900, 5000)})
+    df.loc[0, "tokens"] = 5000  # oversize row -> singleton shard
+    ds = rd.from_pandas(df).repartition(6)
+    out = sp.pack_sequences(ds, "doc_id", "tokens", budget=4096).to_pandas()
+    assert len(out) == 5000 and out.shard_id.notna().all()  # every row assigned
+    per_shard = out.groupby("shard_id").tokens.agg(["sum", "count"])
+    over = per_shard[per_shard["sum"] > 4096]
+    # only shards holding a single oversize row may exceed the budget
+    assert (over["count"] == 1).all()
+    # packing is efficient: average shard fill well above half the budget
+    multi = per_shard[per_shard["count"] > 1]
+    assert multi["sum"].mean() > 4096 * 0.6
+    # deterministic across runs
+    out2 = sp.pack_sequences(rd.from_pandas(df).repartition(6), "doc_id", "tokens", budget=4096).to_pandas()
+    assert dict(zip(out.doc_id, out.shard_id)) == dict(zip(out2.doc_id, out2.shard_id))
+
+
+def test_export_splits_layout(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({"doc_id": np.arange(3000), "text": ["x"] * 3000})
+    out = str(tmp_path / "corpus")
+    sp.export_splits(rd.from_pandas(df), "doc_id", {"train": 0.9, "val": 0.1}, out)
+    train_ids = set()
+    val_ids = set()
+    for f in glob.glob(os.path.join(out, "split=train", "*.parquet")):
+        train_ids |= set(pq.read_table(f)["doc_id"].to_pylist())
+    for f in glob.glob(os.path.join(out, "split=val", "*.parquet")):
+        val_ids |= set(pq.read_table(f)["doc_id"].to_pylist())
+    assert train_ids | val_ids == set(range(3000))
+    assert not (train_ids & val_ids)
+    assert abs(len(train_ids) / 3000 - 0.9) < 0.03
