@@ -67,16 +67,35 @@ class ImageDecodeStage:
             )
         payloads = batch["payload"]
         # STUB: a real decoder would decode+resize here. The deterministic
-        # stand-in hashes payload bytes into a tiny feature vector so
-        # downstream stages (dedup, ANN) are exercised end-to-end.
-        feats = []
-        for p in payloads:
-            b = np.frombuffer(p if isinstance(p, (bytes, bytearray)) else bytes(p), dtype=np.uint8)
-            if len(b) == 0:
-                feats.append(np.zeros(8, dtype=np.float32))
-                continue
-            chunks = np.array_split(b.astype(np.float32), 8)
-            feats.append(np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32))
+        # stand-in folds payload bytes into a tiny feature vector (8 segment
+        # means, array_split boundaries) so downstream stages (dedup, ANN)
+        # are exercised end-to-end — computed in ONE vectorized pass over the
+        # batch's concatenated bytes, no per-payload loop.
+        raw = [p if isinstance(p, (bytes, bytearray)) else bytes(p) for p in payloads]
+        lens = np.fromiter((len(r) for r in raw), dtype=np.int64, count=len(raw))
+        n = len(raw)
+        feats = np.zeros((n, 8), dtype=np.float32)
+        total = int(lens.sum())
+        if total:
+            flat = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.float32)
+            offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            j = np.arange(8)
+            div, mod = lens // 8, lens % 8
+            # array_split boundary j*div + min(j, mod), shifted by payload start
+            bounds = offs[:, None] + j[None, :] * div[:, None] + np.minimum(j[None, :], mod[:, None])
+            seg_len = np.diff(np.concatenate([bounds, (offs + lens)[:, None]], axis=1), axis=1)
+            fb = bounds.reshape(-1)
+            valid = fb < total  # reduceat cannot take a start == len(flat)
+            sums = np.zeros(n * 8, dtype=np.float64)
+            if valid.any():
+                red = np.add.reduceat(flat, fb[valid])
+                # a start index with an empty segment returns flat[start]; zero it after
+                sums[valid] = red
+            sums = sums.reshape(n, 8)
+            sl = seg_len.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                feats = np.where(sl > 0, sums / np.maximum(sl, 1), 0.0).astype(np.float32)
+        feats = list(feats)
         batch = batch.copy()
         batch["decoded_w"] = self.target_size[0]
         batch["decoded_h"] = self.target_size[1]
