@@ -49,3 +49,40 @@ def read_transcripts(
     if conv_ids is not None:
         conj(pads.field("conv_id").isin(conv_ids))
     return rd.read_parquet(paths, columns=columns, filter=expr)
+
+
+def read_transcripts_jsonl(
+    paths,
+    columns: list[str] | None = None,
+) -> Dataset:
+    """JSONL transcript source: same logical table as the parquet reader,
+    for pipelines whose upstream emits newline-delimited JSON (a common
+    transcript interchange format). Rows are cast to TRANSCRIPT_SCHEMA's
+    core types per batch — ts strings parse to timestamp[us] — so every
+    downstream stage sees one schema regardless of the wire format. JSON
+    has no row-group statistics, so there is no predicate pushdown here;
+    pruning happens at the first map."""
+    import pyarrow as pa
+
+    ds = rd.read_json(paths)
+    want = columns or CORE_COLUMNS
+    cast_types = {f.name: f.type for f in TRANSCRIPT_SCHEMA}
+
+    def conform(tbl: pa.Table) -> pa.Table:
+        cols = {}
+        for name in want:
+            if name in tbl.column_names:
+                col = tbl[name]
+                t = cast_types.get(name)
+                if t is not None and col.type != t:
+                    if pa.types.is_timestamp(t) and pa.types.is_string(col.type):
+                        col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+                    else:
+                        col = col.cast(t)
+                cols[name] = col
+            else:
+                t = cast_types.get(name, pa.string())
+                cols[name] = pa.nulls(tbl.num_rows, t)
+        return pa.table(cols)
+
+    return ds.map_batches(conform, batch_format="pyarrow")

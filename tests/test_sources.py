@@ -36,3 +36,31 @@ def test_conv_filtered_read(ray_session, data):
     ds = read_transcripts(files, columns=["conv_id"], conv_ids=pick)
     got = set(ds.to_pandas().conv_id)
     assert got == set(pick)
+
+
+def test_jsonl_source_conforms_to_schema(ray_session, tmp_path):
+    """The JSONL reader must yield the same logical table as parquet —
+    identical rows and core dtypes, missing columns null-filled."""
+    import json
+
+    import pandas as pd
+
+    from teleharvest_ray.sources.transcripts import CORE_COLUMNS, read_transcripts_jsonl
+
+    rows = [
+        {"conv_id": "c-1", "turn_idx": 0, "role": "user", "text": "hello", "tool": None,
+         "ts": "2024-01-05T10:00:00"},
+        {"conv_id": "c-1", "turn_idx": 1, "role": "assistant", "text": "hi", "tool": "search",
+         "ts": "2024-01-05T10:01:00"},
+        {"conv_id": "c-2", "turn_idx": 0, "role": "user", "text": "x", "tool": None,
+         "ts": "2024-01-06T09:30:00"},
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = read_transcripts_jsonl([str(p)]).to_pandas()
+    assert list(out.columns) == CORE_COLUMNS
+    assert len(out) == 3
+    assert str(out.turn_idx.dtype) == "int32"
+    assert pd.api.types.is_datetime64_any_dtype(out.ts)
+    assert out.sort_values(["conv_id", "turn_idx"]).text.tolist() == ["hello", "hi", "x"]
+    assert out.ts.iloc[0] == pd.Timestamp("2024-01-05T10:00:00")
