@@ -68,6 +68,18 @@ def read_transcripts_jsonl(
     want = columns or CORE_COLUMNS
     cast_types = {f.name: f.type for f in TRANSCRIPT_SCHEMA}
 
+    def parse_ts(col):
+        """Tolerant ISO-ish string→timestamp[us]: whole-column Arrow cast
+        first (handles fractional seconds), then per-value strptime
+        fallbacks for 'T'- and space-separated forms with nulls for
+        unparseable values — one bad row must not abort the read."""
+        try:
+            return col.cast(pa.timestamp("us"))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            a = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us", error_is_null=True)
+            b = pc.strptime(col, format="%Y-%m-%d %H:%M:%S", unit="us", error_is_null=True)
+            return pc.coalesce(a, b)
+
     def conform(tbl: pa.Table) -> pa.Table:
         cols = {}
         for name in want:
@@ -76,7 +88,7 @@ def read_transcripts_jsonl(
                 t = cast_types.get(name)
                 if t is not None and col.type != t:
                     if pa.types.is_timestamp(t) and pa.types.is_string(col.type):
-                        col = pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us")
+                        col = parse_ts(col)
                     else:
                         col = col.cast(t)
                 cols[name] = col

@@ -33,14 +33,34 @@ from ..functions.hashing import hash_strings, splitmix64
 _RES = np.uint64(1_000_000)  # split-boundary resolution
 
 
+_NULL_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _key_hash_u64(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
-    vals = col.to_numpy(zero_copy_only=False)
-    if np.issubdtype(np.asarray(vals).dtype, np.integer):
+    """Keyed 64-bit hash of a key column, STABLE under block layout: the
+    int-vs-string dispatch reads the ARROW type, never the materialized
+    numpy dtype — an int column with one null in a block must not reroute
+    the whole block through float64 stringification (which would make a
+    key's hash depend on which rows share its block). Null keys map to one
+    deterministic seeded constant."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
-            return splitmix64(vals.astype(np.int64).view(np.uint64) ^ np.uint64(seed))
-    h = hash_strings(np.asarray(vals, dtype=object))
-    with np.errstate(over="ignore"):
-        return splitmix64(h ^ np.uint64(seed))
+            h = splitmix64(filled.astype(np.int64).view(np.uint64) ^ np.uint64(seed))
+    else:
+        vals = np.asarray(col.to_pandas(), dtype=object)
+        vals = np.where(nulls, "", vals)
+        with np.errstate(over="ignore"):
+            h = splitmix64(hash_strings(vals) ^ np.uint64(seed))
+    if nulls.any():
+        with np.errstate(over="ignore"):
+            h[nulls] = splitmix64(np.uint64(seed) ^ _NULL_KEY_MIX)
+    return h
 
 
 def hash_split(
@@ -82,32 +102,28 @@ def bernoulli_sample(ds: Dataset, key_col: str, p: float, seed: int = 131) -> Da
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def reservoir_sample(ds: Dataset, k: int, seed: int = 211) -> pd.DataFrame:
-    """Exact uniform k-sample without replacement, deterministic given seed.
+def reservoir_sample(ds: Dataset, key_col: str, k: int, seed: int = 211) -> pd.DataFrame:
+    """Exact uniform k-sample of distinct keys, deterministic given seed.
 
-    Distributed shape: each block tags its rows with priorities from a
-    content+position-seeded generator and emits only its local top-k
-    (priority-sampling / bottom-k equivalence: global top-k priorities form
-    a uniform sample). The driver merge sees ≤ k × n_blocks candidate rows."""
+    Keyed priority sampling (bottom-k equivalence): each row's priority is
+    its keyed hash, so the global bottom-k is a uniform sample of keys AND
+    the selection is independent of row order, block layout, and worker
+    count — no per-block RNG state to collide. Each block emits only its
+    local bottom-k; the driver merge sees ≤ k × n_blocks candidate rows.
+    Keys must be unique (a duplicated key would enter together with all its
+    copies — run key dedup first)."""
 
-    def local_topk(tbl: pa.Table) -> pa.Table:
+    def local_bottomk(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
         if n == 0:
-            return tbl.append_column("__prio", pa.array([], pa.float64()))
-        # deterministic per-row priorities: seeded by a PROCESS-STABLE block
-        # content hash (builtin hash() is PYTHONHASHSEED-randomized across
-        # worker processes) so re-runs reproduce, and identical rows in
-        # different blocks still draw distinct priorities
-        first = str(tbl.slice(0, 1).to_pydict())
-        block_tag = int(hash_strings(np.asarray([first], dtype=object))[0] & np.uint64(0x7FFFFFFF))
-        rng = np.random.default_rng((seed, block_tag, n))
-        prio = rng.random(n)
+            return tbl.append_column("__prio", pa.array([], pa.uint64()))
+        prio = _key_hash_u64(tbl[key_col], seed)
         kk = min(k, n)
-        top = np.argpartition(prio, kk - 1)[:kk]
-        out = tbl.take(pa.array(np.sort(top)))
-        return out.append_column("__prio", pa.array(prio[np.sort(top)]))
+        keep = np.sort(np.argpartition(prio, kk - 1)[:kk])
+        out = tbl.take(pa.array(keep))
+        return out.append_column("__prio", pa.array(prio[keep]))
 
-    cands = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cands = ds.map_batches(local_bottomk, batch_format="pyarrow").to_pandas()
     cands = cands.sort_values("__prio").head(k)
     return cands.drop(columns="__prio").reset_index(drop=True)
 
@@ -127,7 +143,10 @@ def pack_sequences(
     a scalar O(n) loop — deliberate: it runs INSIDE the distributed map (a
     few million rows/s per core, never on the driver), and blocks pack
     independently so the operator scales with partitions. Rows larger than
-    the budget get a singleton shard (flagged downstream by their size)."""
+    the budget get a singleton shard (flagged downstream by their size).
+    ``id_col`` must be a key: the 64-bit block tag folds the hashes of ALL
+    the block's keys (never just the first row), so distinct blocks cannot
+    collide short of a 2^-64 accident."""
 
     def pack(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
@@ -144,27 +163,21 @@ def pack_sequences(
                 used = 0
             shard_local[i] = cur
             used += t
-        tag = str(tbl.slice(0, 1).to_pydict())
-        block_tag = int(hash_strings(np.asarray([tag], dtype=object))[0] & np.uint64(0xFFFFFFFF))
-        ids = np.array([f"{block_tag:08x}-{s}" for s in shard_local], dtype=object)
+        key_hashes = _key_hash_u64(tbl[id_col], seed=5)
+        with np.errstate(over="ignore"):
+            folded = np.array([np.bitwise_xor.reduce(key_hashes) ^ np.uint64(n)], dtype=np.uint64)
+            block_tag = int(splitmix64(folded)[0])
+        ids = np.array([f"{block_tag:016x}-{s}" for s in shard_local], dtype=object)
         return tbl.append_column(shard_col, pa.array(ids, pa.string()))
 
     return ds.map_batches(pack, batch_format="pyarrow")
 
 
 def export_splits(ds: Dataset, key_col: str, fractions: dict[str, float], out_dir: str, seed: int = 97) -> dict:
-    """Materialize a hash split as one parquet directory per split (the
-    resumable training-corpus layout: each split directory is independently
-    consumable and a re-run overwrites it whole). Each split is a vectorized
-    Arrow filter over the assigned stream — no per-row Python, no shuffle."""
-    import os
-
-    import pyarrow.compute as pc
-
+    """Materialize a hash split as one hive-partitioned parquet directory per
+    split (``out_dir/split=<name>/``) in ONE pass: the assigned stream writes
+    with ``partition_cols``, so the corpus is read and hashed exactly once —
+    a per-split filter loop would re-execute the upstream read per split."""
     assigned = hash_split(ds, key_col, fractions, seed)
-    for name in fractions:
-        sub = assigned.map_batches(
-            lambda t, n=name: t.filter(pc.equal(t["split"], n)), batch_format="pyarrow"
-        )
-        sub.write_parquet(os.path.join(out_dir, f"split={name}"))
+    assigned.write_parquet(out_dir, partition_cols=["split"])
     return {"out_dir": out_dir, "splits": list(fractions)}

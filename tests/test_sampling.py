@@ -57,15 +57,47 @@ def test_bernoulli_sample_deterministic_and_sized(ray_session, ids_df):
 
 def test_reservoir_sample_exact_k_and_deterministic(ray_session, ids_df):
     ds = rd.from_pandas(ids_df).repartition(11)
-    s1 = sp.reservoir_sample(ds, 500)
-    s2 = sp.reservoir_sample(rd.from_pandas(ids_df).repartition(11), 500)
+    s1 = sp.reservoir_sample(ds, "doc_id", 500)
+    # keyed priority sampling: the sample is layout-INDEPENDENT, so even a
+    # different block count yields the identical key set
+    s2 = sp.reservoir_sample(rd.from_pandas(ids_df).repartition(3), "doc_id", 500)
     assert len(s1) == 500 and s1.doc_id.is_unique
-    assert set(s1.doc_id) == set(s2.doc_id)  # same seed, same layout -> same sample
+    assert set(s1.doc_id) == set(s2.doc_id)
     # roughly uniform: mean of sampled ids near population mean
     assert abs(s1.doc_id.mean() - ids_df.doc_id.mean()) < ids_df.doc_id.mean() * 0.15
-    # k >= n returns everything
+    # different seed -> different subset; k >= n returns everything
+    s3 = sp.reservoir_sample(ds, "doc_id", 500, seed=1234)
+    assert set(s3.doc_id) != set(s1.doc_id)
     small = rd.from_pandas(ids_df.head(100))
-    assert len(sp.reservoir_sample(small, 500)) == 100
+    assert len(sp.reservoir_sample(small, "doc_id", 500)) == 100
+
+
+def test_key_hash_stable_with_nulls_in_block(ray_session):
+    """An int key's hash must not change because some OTHER row in its block
+    holds a null (type dispatch reads the Arrow type, not the numpy dtype)."""
+    import pyarrow as pa
+
+    clean = sp._key_hash_u64(pa.array([1, 3], pa.int64()), 97)
+    dirty = sp._key_hash_u64(pa.array([1, None, 3], pa.int64()), 97)
+    assert clean[0] == dirty[0] and clean[1] == dirty[2]
+    # null keys get one deterministic bucket, not a crash
+    assert dirty[1] == sp._key_hash_u64(pa.array([None], pa.int64()), 97)[0]
+
+
+def test_pack_block_tags_distinct_for_blocks_sharing_first_row(ray_session):
+    """Two blocks that happen to START with the same row must still pack
+    into distinct shards (tag folds ALL keys, not the first row)."""
+    import pyarrow as pa
+
+    import ray.data as rd2
+
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "tokens": [100, 200, 300, 400, 500]})
+    b2 = pd.DataFrame({"doc_id": [0, 11, 12, 13, 14], "tokens": [100, 200, 300, 400, 500]})
+    ds = rd2.from_arrow([pa.Table.from_pandas(b1), pa.Table.from_pandas(b2)])
+    out = sp.pack_sequences(ds, "doc_id", "tokens", budget=1000).to_pandas()
+    per_shard = out.groupby("shard_id").tokens.agg(["sum", "count"])
+    over = per_shard[per_shard["sum"] > 1000]
+    assert (over["count"] == 1).all(), per_shard.to_dict()
 
 
 def test_pack_sequences_budget_and_coverage(ray_session):

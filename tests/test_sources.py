@@ -64,3 +64,28 @@ def test_jsonl_source_conforms_to_schema(ray_session, tmp_path):
     assert pd.api.types.is_datetime64_any_dtype(out.ts)
     assert out.sort_values(["conv_id", "turn_idx"]).text.tolist() == ["hello", "hi", "x"]
     assert out.ts.iloc[0] == pd.Timestamp("2024-01-05T10:00:00")
+
+
+def test_jsonl_source_tolerates_mixed_timestamps(ray_session, tmp_path):
+    """Fractional-second, space-separated and junk ts strings must conform
+    (or null) instead of aborting the read."""
+    import json
+
+    import pandas as pd
+
+    from teleharvest_ray.sources.transcripts import read_transcripts_jsonl
+
+    rows = [
+        {"conv_id": "c-1", "turn_idx": 0, "role": "user", "text": "a", "tool": None,
+         "ts": "2024-01-05T10:00:00.123456"},
+        {"conv_id": "c-1", "turn_idx": 1, "role": "user", "text": "b", "tool": None,
+         "ts": "2024-01-05 10:01:00"},
+        {"conv_id": "c-1", "turn_idx": 2, "role": "user", "text": "c", "tool": None,
+         "ts": "not-a-time"},
+    ]
+    p = tmp_path / "mixed.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = read_transcripts_jsonl([str(p)]).to_pandas().sort_values("turn_idx")
+    assert pd.api.types.is_datetime64_any_dtype(out.ts)
+    assert out.ts.iloc[1] == pd.Timestamp("2024-01-05T10:01:00")
+    assert pd.isna(out.ts.iloc[2])
