@@ -195,3 +195,44 @@ def test_grown_partition_without_sidecars_full_rescans(ray_session, tmp_path):
     run_validation(d, out, ValidationConfig(), write_annotated=False)
     got = read_violations(out)
     assert (dup_conv, 0, "dup_key") in _vio_set(got)
+
+
+def test_incremental_two_successive_appends(ray_session, tmp_path):
+    """Watermark semantics must compose: two successive appends each
+    revalidate only their delta, and the final state equals a from-scratch
+    run over the twice-grown data."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "inc2")
+    generate(d, GenSpec(n_convs=50, n_files=2, seed=41))
+    out = str(tmp_path / "inc2_out")
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    p = os.path.join(d, "part-00000.parquet")
+    longtext = "ok " * 100
+    for wave, convs in enumerate((["conv-w1"], ["conv-w1", "conv-w2"])):
+        old = pq.read_table(p)
+        n_new = len(convs)
+        # each wave appends the NEXT turn of conv-w1 (and starts conv-w2 in
+        # wave 2), so gap-freeness depends on state merged across waves
+        turn = [wave] * 1 if n_new == 1 else [wave, 0]
+        ap = pd.DataFrame(
+            {
+                "conv_id": convs,
+                "turn_idx": pd.array(turn, dtype="int32"),
+                "role": ["user"] * n_new,
+                "text": [longtext] * n_new,
+                "tool": [None] * n_new,
+                "ts": pd.to_datetime(["2024-02-01T00:00:00"] * n_new),
+                "views": [1000] * n_new,
+                "reactions": [100] * n_new,
+                "forwards": [1] * n_new,
+            }
+        )
+        pq.write_table(
+            pa.concat_tables([old, pa.Table.from_pandas(ap, schema=old.schema, preserve_index=False)]), p
+        )
+        s = run_validation(d, out, ValidationConfig(), write_annotated=False)
+        assert s["n_validated_now"] == 1 and s["n_resumed"] == 1
+    ctl = str(tmp_path / "inc2_ctl")
+    run_validation(d, ctl, ValidationConfig(), write_annotated=False)
+    assert _vio_set(read_violations(out)) == _vio_set(read_violations(ctl))
