@@ -122,3 +122,43 @@ def test_cli_gen_and_validate(tmp_path):
     s = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s["rows_scanned"] == m["n_rows"]
     assert os.path.exists(os.path.join(o, "checkpoints", "_global.json"))
+
+
+def test_refresh_metrics_after_incremental_append(ray_session, tmp_path):
+    """Composition: append rows with missing metrics to a validated
+    partition, resume incrementally, then run the bounded-window metrics
+    refresh — the refreshed violations must flag the appended rows."""
+    import pyarrow as pa
+
+    from teleharvest_ray.config import ValidationConfig
+    from teleharvest_ray.pipelines.refresh import refresh_metrics
+    from teleharvest_ray.pipelines.validate import read_violations, run_validation
+    from teleharvest_ray.sources.datagen import GenSpec, generate
+
+    d = str(tmp_path / "rmdata")
+    generate(d, GenSpec(n_convs=40, n_files=2, seed=51))
+    out = str(tmp_path / "rmout")
+    run_validation(d, out, ValidationConfig(), write_annotated=False)
+    p = os.path.join(d, "part-00000.parquet")
+    old = pq.read_table(p)
+    ap = pd.DataFrame(
+        {
+            "conv_id": ["conv-rm-1"] * 2,
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["ok " * 100] * 2,
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2024-02-01T00:00:00"] * 2),
+            "views": [0, 1000],  # turn 0 has zero views -> metrics_missing
+            "reactions": [0, 100],
+            "forwards": [0, 1],
+        }
+    )
+    pq.write_table(pa.concat_tables([old, pa.Table.from_pandas(ap, schema=old.schema, preserve_index=False)]), p)
+    s = run_validation(d, out, ValidationConfig(), write_annotated=False)
+    assert s["n_validated_now"] == 1
+    refresh_metrics(d, out, ValidationConfig(), window=1000)
+    got = read_violations(out)
+    k = set(map(tuple, got[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False)))
+    assert ("conv-rm-1", 0, "metrics_missing") in k
+    assert ("conv-rm-1", 1, "metrics_missing") not in k
