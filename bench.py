@@ -21,6 +21,21 @@ import sys
 import time
 
 
+def _calibrate_ms() -> float:
+    """Single-thread memory-bandwidth probe (~0.5 s): time 20 passes over a
+    16 MB float64 array. Identical work every run, so the number measures
+    the BOX at benchmark time, not the engine — wall-clock here swings up
+    to 6x between samples (see BASELINE.md), and this field lets any two
+    bench JSONs be compared with the contention state attached."""
+    import numpy as _np
+
+    a = _np.ones(2_000_000, dtype=_np.float64)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        a = a * 1.0000001
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -83,6 +98,7 @@ def main() -> None:
         "num_cpus": num_cpus,
         "transcript_rows": n_rows,
         "turns_per_sec": round(n_rows / headline, 1),
+        "box_calib_ms": _calibrate_ms(),
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -178,7 +194,8 @@ def big_run() -> None:
     wall = round(time.perf_counter() - t0, 3)
     n_rows = json.load(open(os.path.join(data, "manifest.json")))["n_rows"]
     print(json.dumps({"value": wall, "rows": n_rows, "num_cpus": num_cpus,
-                      "turns_per_sec": round(n_rows / wall, 1)}))
+                      "turns_per_sec": round(n_rows / wall, 1),
+                      "box_calib_ms": _calibrate_ms()}))
     ray.shutdown()
 
 
