@@ -281,3 +281,82 @@ class KLLSketch:
         s = cls(k)
         s.levels, s.n, s._parity = [np.asarray(x) for x in levels], n, parity
         return s
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters (mergeable, one-sided error)
+# ---------------------------------------------------------------------------
+
+
+class SpaceSaving:
+    """SpaceSaving top-k sketch (Metwally et al. 2005): tracks ``capacity``
+    counters; any item with true frequency > n/capacity is GUARANTEED to be
+    among the counters (one-sided: the candidate set is a superset of the
+    true heavy hitters, counts may overestimate by at most ``err``).
+
+    Mergeable: counter-wise sum with re-truncation keeps the superset
+    guarantee at capacity summed error. The intended shape is
+    sketch-per-batch → merge → EXACT verification of the candidate set with
+    one filtered count (see queries.q_heavy_hitters) — the same
+    candidates-then-verify paradigm as the keyspace dup check.
+    """
+
+    __slots__ = ("capacity", "counts", "errs", "n")
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errs: dict = {}
+        self.n = 0
+
+    def update(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        """Bulk update: pre-aggregate the batch (vectorized), then fold the
+        per-batch totals — the dict loop runs over DISTINCT batch values."""
+        vals, inv = np.unique(np.asarray(values, dtype=object), return_inverse=True)
+        w = np.bincount(inv, weights=weights).astype(np.int64) if weights is not None else np.bincount(inv)
+        self.n += int(w.sum())
+        for v, c in zip(vals, w):
+            c = int(c)
+            if v in self.counts:
+                self.counts[v] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[v] = c
+                self.errs[v] = 0
+            else:
+                victim = min(self.counts, key=self.counts.get)
+                base = self.counts.pop(victim)
+                self.errs.pop(victim)
+                self.counts[v] = base + c
+                self.errs[v] = base
+        # keep n consistent even when weights exceed int32 etc.
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        for v, c in other.counts.items():
+            if v in self.counts:
+                self.counts[v] += c
+                self.errs[v] += other.errs[v]
+            else:
+                self.counts[v] = c
+                self.errs[v] = other.errs.get(v, 0)
+        self.n += other.n
+        if len(self.counts) > self.capacity:
+            keep = sorted(self.counts, key=self.counts.get, reverse=True)[: self.capacity]
+            dropped_max = max(self.counts[v] for v in self.counts if v not in set(keep))
+            self.counts = {v: self.counts[v] for v in keep}
+            self.errs = {v: self.errs.get(v, 0) + dropped_max for v in keep}
+        return self
+
+    def candidates(self, k: int) -> list:
+        """Top-k candidate values (a superset-biased ranking by upper-bound
+        count); verify exactly before trusting the order."""
+        return sorted(self.counts, key=self.counts.get, reverse=True)[:k]
+
+    def to_bytes(self) -> bytes:
+        return zlib.compress(pickle.dumps((self.capacity, self.counts, self.errs, self.n), protocol=4))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        cap, counts, errs, n = pickle.loads(zlib.decompress(b))
+        s = cls(capacity=cap)
+        s.counts, s.errs, s.n = counts, errs, n
+        return s

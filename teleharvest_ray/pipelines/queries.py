@@ -1208,6 +1208,73 @@ def q_pack_shards(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("shard_id").reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-10 words via SpaceSaving sketch + EXACT verification: per-batch
+    sketches merge driver-side (blob-sized), the candidate set broadcasts
+    back for one exact filtered count, and the sketch's superset guarantee
+    (true freq > n/capacity ⇒ in counters) is CHECKED against the exact
+    10th-place count — if it doesn't hold, fall back to the full exact
+    groupby. Result is therefore always exact (oracle-green), while at scale
+    the shuffle carries sketch blobs + candidate counts, never the full
+    vocabulary (contrast q_word_count, which shuffles every distinct word)."""
+    from ..functions.sketches import SpaceSaving
+
+    K, CAP, SLACK = 10, 8192, 200
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def sketch(tbl: pa.Table) -> pa.Table:
+        ss = SpaceSaving(CAP)
+        tok = tf.tokenize(tbl["text"])
+        if len(tok.rows):
+            counts = np.bincount(tok.codes, minlength=len(tok.uniq_hash))
+            ss.update(np.asarray(tok.uniques, dtype=object), weights=counts)
+        return pa.table({"blob": pa.array([ss.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(sketch, batch_format="pyarrow", batch_size=None).to_pandas()["blob"]
+    merged = SpaceSaving(CAP)
+    for b in blobs:
+        merged.merge(SpaceSaving.from_bytes(b))
+    cands = set(merged.candidates(SLACK))
+
+    import ray as _ray
+
+    cand_ref = _ray.put(cands)
+
+    def exact_counts(tbl: pa.Table) -> pa.Table:
+        cset = _ray.get(cand_ref)
+        tok = tf.tokenize(tbl["text"])
+        if not len(tok.rows):
+            return pa.table({"w": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())})
+        counts = np.bincount(tok.codes, minlength=len(tok.uniq_hash))
+        uniq = np.asarray(tok.uniques, dtype=object)
+        keep = np.fromiter((u in cset for u in uniq), dtype=bool, count=len(uniq))
+        return pa.table(
+            {"w": pa.array(uniq[keep], pa.string()), "n": pa.array(counts[keep].astype(np.int64))}
+        )
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "w"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = exact.head(K)
+    guarantee = len(top) == K and top.n.iloc[K - 1] > merged.n / CAP
+    if not guarantee:  # sketch can't certify the top-K: full exact fallback
+        full = q_word_count(sf_dir).head(K).rename(columns={})
+        return full[["w", "n"]].reset_index(drop=True)
+    return top[["w", "n"]].reset_index(drop=True)
+
+
+QUERIES["q_heavy_hitters"] = q_heavy_hitters
+ORACLE_SQL["q_heavy_hitters"] = """
+    SELECT w, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 10
+"""
+
 QUERIES["q_pack_shards"] = q_pack_shards
 QUERIES["q_split_counts"] = q_split_counts
 QUERIES["q_mod_sample"] = q_mod_sample

@@ -112,3 +112,47 @@ def test_kll_merge_and_roundtrip():
     allv = np.concatenate([v1, v2])
     assert a.n == 100_000
     assert abs(a.quantile(0.5) - np.quantile(allv, 0.5)) < 1.0
+
+
+def test_spacesaving_superset_guarantee_and_merge():
+    """Any value with true frequency > n/capacity must appear in the
+    counters, including after merging per-chunk sketches."""
+    import numpy as np
+
+    from teleharvest_ray.functions.sketches import SpaceSaving
+
+    rng = np.random.default_rng(6)
+    # zipf-ish: a few heavy values over a long tail
+    heavy = np.repeat([f"h{i}" for i in range(5)], [4000, 3000, 2000, 1500, 1000])
+    tail = np.array([f"t{i}" for i in rng.integers(0, 50_000, 30_000)])
+    data = np.concatenate([heavy, tail])
+    rng.shuffle(data)
+    cap = 512
+    merged = SpaceSaving(cap)
+    for chunk in np.array_split(data, 7):
+        s = SpaceSaving(cap)
+        s.update(chunk)
+        merged = merged.merge(s)
+    assert merged.n == len(data)
+    vals, counts = np.unique(data, return_counts=True)
+    thresh = len(data) / cap
+    must_have = set(vals[counts > thresh])
+    assert must_have <= set(merged.counts), must_have - set(merged.counts)
+    # top-5 candidates include all five planted heavies
+    assert {f"h{i}" for i in range(5)} <= set(merged.candidates(8))
+    # counts never underestimate within the error bound
+    for v in must_have:
+        true = int(counts[vals == v][0])
+        assert merged.counts[v] >= true
+        assert merged.counts[v] - merged.errs[v] <= true
+
+
+def test_spacesaving_roundtrip_bytes():
+    import numpy as np
+
+    from teleharvest_ray.functions.sketches import SpaceSaving
+
+    s = SpaceSaving(16)
+    s.update(np.array(["a", "b", "a", "c"], dtype=object))
+    r = SpaceSaving.from_bytes(s.to_bytes())
+    assert r.counts == s.counts and r.errs == s.errs and r.n == s.n
