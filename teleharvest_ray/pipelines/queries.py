@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray as _ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -1081,8 +1082,6 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
     cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    import ray as _ray
-
     cn_ref = _ray.put(dict(zip(cn.c_custkey, cn.n_name)))
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"])
 
@@ -1162,8 +1161,6 @@ def q_zscore_by_lang(sf_dir: str) -> pd.DataFrame:
     )
     stats["mean"] = stats.s / stats.n
     stats["std"] = np.sqrt(np.maximum(stats.ss - stats.s**2 / stats.n, 0.0) / np.maximum(stats.n - 1, 1))
-    import ray as _ray
-
     stats_ref = _ray.put(
         (dict(zip(stats.lang, stats["mean"])), dict(zip(stats.lang, stats["std"])))
     )
@@ -1236,8 +1233,6 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
         merged.merge(SpaceSaving.from_bytes(b))
     cands = set(merged.candidates(SLACK))
 
-    import ray as _ray
-
     cand_ref = _ray.put(cands)
 
     def exact_counts(tbl: pa.Table) -> pa.Table:
@@ -1247,7 +1242,7 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
             return pa.table({"w": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())})
         counts = np.bincount(tok.codes, minlength=len(tok.uniq_hash))
         uniq = np.asarray(tok.uniques, dtype=object)
-        keep = np.fromiter((u in cset for u in uniq), dtype=bool, count=len(uniq))
+        keep = pd.Series(uniq).isin(cset).to_numpy()
         return pa.table(
             {"w": pa.array(uniq[keep], pa.string()), "n": pa.array(counts[keep].astype(np.int64))}
         )

@@ -31,9 +31,7 @@ from __future__ import annotations
 import glob
 import hashlib as _hashlib
 import os
-import pickle
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa

@@ -249,21 +249,15 @@ def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def gather_texts(ds: Dataset, id_col: str, text_col: str, ids: np.ndarray) -> pd.DataFrame:
-    """(id, text) rows for an anomaly-sized id set: broadcast the sorted id
-    array once, membership-filter each batch of a pruned scan (searchsorted —
-    no shuffle, no full-table read). The collected result is candidate-sized
-    by construction; feed it to :func:`verify_pairs_jaccard`."""
-    ids_sorted = np.sort(np.unique(np.asarray(ids)))
-    ref = ray.put(ids_sorted)
+    """(id, text) rows for an anomaly-sized id set: a broadcast semi-join
+    over a pruned scan (joins.anti_join_keys with anti=False — searchsorted
+    membership per batch, no shuffle, no full-table read). The collected
+    result is candidate-sized by construction; feed it to
+    :func:`verify_pairs_jaccard`."""
+    from .joins import anti_join_keys
 
-    def pick(tbl: pa.Table) -> pa.Table:
-        k = ray.get(ref)
-        vals = tbl[id_col].to_numpy(zero_copy_only=False)
-        from ..functions.arrays import member_mask
-
-        return tbl.filter(pa.array(member_mask(k, vals)))
-
-    return ds.select_columns([id_col, text_col]).map_batches(pick, batch_format="pyarrow").to_pandas()
+    pruned = ds.select_columns([id_col, text_col])
+    return anti_join_keys(pruned, np.unique(np.asarray(ids)), on=id_col, anti=False).to_pandas()
 
 
 def verify_pairs_jaccard(
