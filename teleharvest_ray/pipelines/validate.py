@@ -459,3 +459,25 @@ def read_violations(out_dir: str):
     if not frames:
         return pd.DataFrame(columns=["conv_id", "turn_idx", "check_id", "detail"])
     return pd.concat(frames, ignore_index=True)
+
+
+def compare_runs(out_a: str, out_b: str) -> dict:
+    """Drift between two completed validation runs, from their checkpoint
+    records' sketch states only — no data is re-read. The successive-corpus
+    regression check: run validation on v1 and v2, then diff the merged
+    distributions."""
+    from ..stages.stats import compare_run_stats
+
+    def merged_of(out_dir: str) -> dict:
+        store = CheckpointStore(os.path.join(out_dir, "checkpoints"))
+        merged = None
+        for pid, rec in store.completed().items():
+            if pid.startswith("_") or not rec.get("sketch_state"):
+                continue
+            s = stats_from_bytes(rec["sketch_state"])
+            merged = s if merged is None else merge_stats(merged, s)
+        if merged is None:
+            raise FileNotFoundError(f"no sketch states under {out_dir}")
+        return merged
+
+    return compare_run_stats(merged_of(out_a), merged_of(out_b))

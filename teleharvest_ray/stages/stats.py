@@ -171,3 +171,27 @@ def drift_check(stats: dict, profile: ReferenceProfile, cfg: ValidationConfig) -
             if rel > cfg.drift_quantile_rel_threshold:
                 findings.append(f"token_q{int(q*100)}_rel_delta={rel:.3f}>{cfg.drift_quantile_rel_threshold}")
     return findings
+
+
+def compare_run_stats(a: dict, b: dict) -> dict:
+    """Cross-RUN drift: the same statistics the per-partition drift check
+    uses, computed between two runs' MERGED sketch states (dataset-vs-dataset
+    instead of partition-vs-profile) — the regression-detection tool for
+    successive corpus versions. Symmetric, cheap (sketch-sized inputs only)."""
+    return {
+        "rows_a": a["n_rows"],
+        "rows_b": b["n_rows"],
+        "role_chi2": round(chi_square_frac(a["role_freq"], b["role_freq"]), 6),
+        "tool_chi2": round(chi_square_frac(a["tool_freq"], b["tool_freq"]), 6),
+        "text_len_ks": round(a["len_hist"].ks_distance(b["len_hist"]), 6),
+        "token_p50_rel_delta": _rel_delta(a["token_hist"].quantile(0.5), b["token_hist"].quantile(0.5)),
+        "token_p95_rel_delta": _rel_delta(a["token_hist"].quantile(0.95), b["token_hist"].quantile(0.95)),
+        "approx_distinct_convs_a": int(a["conv_hll"].estimate()),
+        "approx_distinct_convs_b": int(b["conv_hll"].estimate()),
+    }
+
+
+def _rel_delta(x: float, y: float) -> float:
+    if np.isnan(x) or np.isnan(y) or y == 0:
+        return float("nan")
+    return round(abs(x - y) / abs(y), 6)

@@ -236,3 +236,23 @@ def test_incremental_two_successive_appends(ray_session, tmp_path):
     ctl = str(tmp_path / "inc2_ctl")
     run_validation(d, ctl, ValidationConfig(), write_annotated=False)
     assert _vio_set(read_violations(out)) == _vio_set(read_violations(ctl))
+
+
+def test_compare_runs_detects_distribution_shift(ray_session, tmp_path):
+    """Cross-run drift from checkpoint sketches only: identical corpora
+    compare clean; a drift-skewed corpus lights up the statistics."""
+    from teleharvest_ray.pipelines.validate import compare_runs
+
+    d1 = str(tmp_path / "v1")
+    generate(d1, GenSpec(n_convs=60, n_files=3, seed=61, drift_files=0))
+    d2 = str(tmp_path / "v2")
+    generate(d2, GenSpec(n_convs=60, n_files=3, seed=61, drift_files=1))  # one drifted file shifts the merged stats
+    o1, o1b, o2 = (str(tmp_path / n) for n in ("o1", "o1b", "o2"))
+    run_validation(d1, o1, ValidationConfig(), write_annotated=False)
+    run_validation(d1, o1b, ValidationConfig(), write_annotated=False)
+    run_validation(d2, o2, ValidationConfig(), write_annotated=False)
+    same = compare_runs(o1, o1b)
+    assert same["role_chi2"] == 0.0 and same["text_len_ks"] == 0.0
+    shifted = compare_runs(o1, o2)
+    assert shifted["role_chi2"] > same["role_chi2"] or shifted["text_len_ks"] > same["text_len_ks"]
+    assert shifted["rows_a"] == same["rows_a"]
