@@ -43,13 +43,14 @@ import ray.data as rd
 from ..checks import filter_violations
 from ..config import ValidationConfig
 from ..stages.keyspace import (
+    build_bloom_index,
     conv_partials_table,
     keyspace_checks,
     keyspace_from_states,
     merge_conv_partials,
     prep_state,
 )
-from ..stages.row_checks import chain_violations, evaluate_chain
+from ..stages.row_checks import build_conv_last, chain_violations, evaluate_chain
 from ..stages.stats import (
     drift_check,
     merge_stats,
@@ -90,6 +91,11 @@ class PartitionValidator:
         last-turn ER exemption is scoped to the delta (the reference's
         per-fetched-batch semantics, processor.py:76-77)."""
         t0 = time.perf_counter()
+        # stat BEFORE the scan: rows appended concurrently with this scan are
+        # not covered by the recorded size/mtime, so the next resume's stat
+        # pre-filter misses and schedules the delta (a post-scan stat would
+        # mark them validated without ever reading them)
+        st_pre = os.stat(path)
         # stream the partition ROW-GROUP-wise: peak actor memory is bounded by
         # row-group size, not file size (a 1 GB file never materializes whole).
         # Chain semantics are per-fetched-batch by definition (the last-turn ER
@@ -106,9 +112,10 @@ class PartitionValidator:
                 kt = kt.slice(start_row)
             cl_conv = kt["conv_id"].to_pandas()
             cl_turn = kt["turn_idx"].to_numpy(zero_copy_only=False)
-            import pandas as _pd
-
-            conv_last = _pd.Series(cl_turn).groupby(cl_conv.to_numpy()).max().to_dict()
+            # sorted-hash-array map, not a Python dict: ~12 B/conversation
+            # (uint64 key + max) vs ~100+ B/entry for an object dict — the
+            # heaviest per-task transient at multi-million-conv files
+            conv_last = build_conv_last(cl_conv.to_numpy(), cl_turn)
         except Exception:
             pass
         ann_parts, vio_parts, stats = [], [], None
@@ -237,8 +244,8 @@ class PartitionValidator:
             "keyspace_blob": blob_path,
             "keyspace_digest": blob_digest,
             "input_file": path,
-            "input_size": os.stat(path).st_size,
-            "input_mtime": os.stat(path).st_mtime,
+            "input_size": st_pre.st_size,
+            "input_mtime": st_pre.st_mtime,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
 
@@ -315,6 +322,13 @@ def run_validation(
         n_now = pq.ParquetFile(f).metadata.num_rows
         n_rec = int(rec.get("rows_scanned", 0))
         if n_now == n_rec:
+            # size/mtime moved but row count matches: the file was REPLACED
+            # with different content of equal length (equal-count appends
+            # can't happen under the append-only contract). Equality of row
+            # counts proves nothing about content — full rescan, else stale
+            # violations/sketch/keyspace state survives the swap.
+            todo.append({"path": f, "pid": p, "start_row": 0})
+            done.pop(p)
             continue
         # delta revalidation needs the prefix's sidecar state to merge into;
         # records without it (older formats, or sidecars gone from disk)
@@ -393,11 +407,14 @@ def run_validation(
     if grec is None or grec.get("digest") != global_digest:
         turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
         conv_index_path = os.path.join(data_dir, "conversations.parquet")
-        known = (
-            pq.read_table(conv_index_path)["conv_id"].to_pylist()
-            if os.path.exists(conv_index_path)
-            else []
-        )
+        if not os.path.exists(conv_index_path):
+            known = []
+        elif pq.ParquetFile(conv_index_path).metadata.num_rows > cfg.orphan_bloom_threshold:
+            # big index: distributed partial-Bloom build (OR-merge) — the
+            # driver holds only the final filter bits, never the id list
+            known = build_bloom_index(conv_index_path)
+        else:
+            known = pq.read_table(conv_index_path)["conv_id"].to_pylist()
         usable = [
             pid
             for pid in pids

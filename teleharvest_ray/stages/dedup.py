@@ -199,6 +199,13 @@ def _tri_pairs(
     return pd.concat(frames, ignore_index=True).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
+#: banded-row threshold below which candidate pairing runs driver-local —
+#: the Ray groupby shuffle carries ~1.4 s of fixed overhead that dominates
+#: at toy input sizes (same size-dispatch pattern as embedding_near_dup's
+#: broadcast budget and the validator's conv-partials threshold)
+_LOCAL_PAIRING_ROWS = 2_000_000
+
+
 def _bucket_pairs_distributed(
     banded: Dataset,
     bucket_cols: list[str],
@@ -212,7 +219,14 @@ def _bucket_pairs_distributed(
     runs the vectorized triangular generator. The banded table never reaches
     the driver — only the candidate pair set (the anomaly set) is collected,
     deduplicated across partitions (the same pair can surface from buckets
-    landing in different partitions)."""
+    landing in different partitions).
+
+    Small inputs (≤ ``_LOCAL_PAIRING_ROWS`` banded rows) skip the shuffle and
+    pair locally — the banded table is materialized either way (the groupby
+    shuffle pins every block too), so the count probe costs no extra pass."""
+    banded = banded.materialize()
+    if banded.count() <= _LOCAL_PAIRING_ROWS:
+        return _tri_pairs(banded.to_pandas(), bucket_cols, id_col, payload_cols, cap)
 
     def add_part(tbl: pa.Table) -> pa.Table:
         h = np.zeros(tbl.num_rows, dtype=np.uint64)

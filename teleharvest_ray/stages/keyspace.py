@@ -263,10 +263,52 @@ def keyspace_checks(
     return keyspace_from_states(blobs, summ, turns, known_conv_ids, cfg)
 
 
+def build_bloom_index(index_path: str, fpp: float = 0.01):
+    """Distributed Bloom build over a conversations-index parquet: each block
+    builds a PARTIAL filter (identical ``(n_items, fpp)`` params, so the bit
+    arrays OR-merge associatively — the sketch-merge shape), and the driver
+    folds the streamed partials into ONE filter. Driver peak memory = two
+    filter bit arrays, independent of index row count; the id strings never
+    leave the tasks. Total row count comes from a footer-only read.
+
+    Reference analog: the published-set snapshot load
+    (``/root/reference/models/message.py:112-126``), which materializes the
+    whole id set in one process — the shape this replaces at 10^9 ids."""
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from ..functions.bloom import BloomFilter
+    from ..functions.hashing import hash_strings as _hs
+
+    n_total = _pq.ParquetFile(index_path).metadata.num_rows
+    final = BloomFilter(n_total, fpp)
+    if n_total == 0:
+        return final
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_total, fpp)  # same params in every task
+        bf.add_hashes(_hs(np.asarray(tbl["conv_id"].to_pandas(), dtype=object)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = _rd.read_parquet(index_path, columns=["conv_id"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for blob in b["bits"].to_pylist():
+            np.bitwise_or(final.bits, np.frombuffer(blob, dtype=np.uint8), out=final.bits)
+    return final
+
+
 def _membership_checker(known_conv_ids, cfg: ValidationConfig):
     """Serializable membership closure for the orphan check: empty index →
-    check not applicable (never flags); big index → Bloom (one-sided:
-    flagged ⇒ truly absent); else sorted-array searchsorted."""
+    check not applicable (never flags); pre-built BloomFilter (the
+    distributed-build path, :func:`build_bloom_index`) → probe it; big id
+    list → Bloom built here; else sorted-array searchsorted."""
+    from ..functions.bloom import BloomFilter as _BF
+
+    if isinstance(known_conv_ids, _BF):
+        bf = known_conv_ids
+        return lambda conv: bf.contains_strings(conv)
     index_arr = np.asarray(list(known_conv_ids), dtype=object)
     if len(index_arr) == 0:
         return lambda conv: np.ones(len(conv), dtype=bool)

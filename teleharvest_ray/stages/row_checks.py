@@ -45,7 +45,40 @@ import pyarrow.compute as pc
 
 from ..config import ValidationConfig
 from ..functions import textfuncs as tf
+from ..functions.hashing import hash_strings
 from ..schema import METRIC_COLUMNS
+
+
+def build_conv_last(conv_values, turns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-conversation max turn as (sorted uint64 conv-hash array, max-turn
+    array) — the file-local last-turn-exemption map. A sorted-array pair
+    costs ~12 bytes/conversation vs ~100+ for the equivalent Python dict
+    (several-million-conv files were the validator's heaviest transient).
+    Colliding hashes (≈2^-64 per pair, file-local blast radius) keep the max
+    of the union — same direction as the dict's key-union semantics."""
+    g = pd.Series(np.asarray(turns)).groupby(np.asarray(conv_values, dtype=object)).max()
+    kh = hash_strings(np.asarray(g.index, dtype=object))
+    mx = g.to_numpy()
+    order = np.argsort(kh)
+    kh, mx = kh[order], mx[order]
+    if len(kh) > 1:  # fold hash duplicates to the max turn of the collision set
+        starts = np.flatnonzero(np.r_[True, kh[1:] != kh[:-1]])
+        kh = kh[starts]
+        mx = np.maximum.reduceat(mx, starts)
+    return kh, mx
+
+
+def lookup_conv_last(conv_last: tuple[np.ndarray, np.ndarray], conv_values) -> np.ndarray:
+    """Vectorized max-turn lookup (binary search on uint64); misses → NaN."""
+    keys, maxes = conv_last
+    out = np.full(len(conv_values), np.nan)
+    if len(keys) == 0 or len(out) == 0:
+        return out
+    ch = hash_strings(np.asarray(conv_values, dtype=object))
+    pos = np.clip(np.searchsorted(keys, ch), 0, len(keys) - 1)
+    hit = keys[pos] == ch
+    out[hit] = maxes[pos[hit]].astype(np.float64)
+    return out
 
 
 def _mask_where(values: pa.Array, keep: np.ndarray) -> pa.Array:
@@ -57,7 +90,7 @@ def evaluate_chain(
     tbl: pa.Table,
     cfg: ValidationConfig,
     exemplars: np.ndarray | None = None,
-    conv_last: dict | None = None,
+    conv_last: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pa.Table:
     """Annotate a batch with chain columns; returns the input columns plus
     text_norm, er, score, alt, score_alt, token_count, similarity_score,
@@ -122,7 +155,7 @@ def evaluate_chain(
         conv_pd = pd.Series(np.asarray(conv.to_pandas(), dtype=object))
         turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
         if conv_last is not None:
-            conv_max = conv_pd.map(conv_last).to_numpy(dtype=np.float64, na_value=np.nan)
+            conv_max = lookup_conv_last(conv_last, conv_pd.to_numpy())
         else:
             conv_max = pd.Series(turn).groupby(conv_pd.to_numpy()).transform("max").to_numpy()
         is_last = turn == conv_max

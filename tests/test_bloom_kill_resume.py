@@ -105,3 +105,50 @@ def test_kill9_resume_identical(tmp_path):
         map(tuple, df[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False))
     )
     assert k(read_violations(o1)) == k(read_violations(o2))
+
+
+def test_distributed_bloom_build_matches_local(ray_session, tmp_path):
+    """Per-block partial Blooms OR-merge to exactly the filter a single-pass
+    local build produces (identical (n, fpp) params in every task)."""
+    import pyarrow as pa
+
+    from teleharvest_ray.stages.keyspace import build_bloom_index
+
+    ids = np.asarray([f"conv-{i:05d}" for i in range(3000)], dtype=object)
+    path = str(tmp_path / "idx.parquet")
+    pq.write_table(pa.table({"conv_id": pa.array(ids, pa.string())}), path)
+    bf_dist = build_bloom_index(path)
+    bf_local = BloomFilter.from_strings(ids)
+    assert (bf_dist.m_bits, bf_dist.k) == (bf_local.m_bits, bf_local.k)
+    assert np.array_equal(bf_dist.bits, bf_local.bits)
+
+
+def test_validation_bloom_path_distributed_and_manifest_exact(ray_session, tmp_path, monkeypatch):
+    """Above orphan_bloom_threshold the driver builds the membership index
+    via the distributed partial-Bloom path (never materializing the id
+    list), and the orphan manifest stays row-exact."""
+    import teleharvest_ray.pipelines.validate as V
+    from teleharvest_ray.pipelines.validate import read_violations, run_validation
+
+    d = str(tmp_path / "bd")
+    generate(d, GenSpec(n_convs=120, n_files=4, seed=78))
+    calls = []
+    orig_build = V.build_bloom_index
+    monkeypatch.setattr(V, "build_bloom_index", lambda p, **k: (calls.append(p), orig_build(p, **k))[1])
+    # fail loudly if anything driver-side asks for the full id column
+    orig_read = V.pq.read_table
+
+    def guarded_read(path, *a, **k):
+        if str(path).endswith("conversations.parquet"):
+            raise AssertionError("driver materialized the conversations id list")
+        return orig_read(path, *a, **k)
+
+    monkeypatch.setattr(V.pq, "read_table", guarded_read)
+    out = str(tmp_path / "out")
+    run_validation(d, out, ValidationConfig(salt_buckets=8, orphan_bloom_threshold=1), write_annotated=False)
+    assert calls, "distributed bloom build was not invoked"
+    exp = pq.read_table(d + "/expected_violations.parquet").to_pandas()
+    exp_orph = exp[exp.check_id == "orphan_conv"]
+    got = read_violations(out)
+    got_orph = got[got.check_id == "orphan_conv"]
+    assert set(got_orph.conv_id) == set(exp_orph.conv_id)

@@ -74,10 +74,12 @@ def test_tri_pairs_matches_bruteforce():
     assert len(expect) > 100  # non-trivial case
 
 
-def test_distributed_pairing_matches_driver(ray_session):
+def test_distributed_pairing_matches_driver(ray_session, monkeypatch):
     """Cluster path (hash-partition on bucket key + per-partition pairing)
     must produce the identical candidate set as a single-node pairing over
-    the same banded table."""
+    the same banded table. Forces the shuffle path (the size dispatch would
+    otherwise pick local pairing at this toy size)."""
+    monkeypatch.setattr(dd, "_LOCAL_PAIRING_ROWS", 0)
     rng = np.random.default_rng(11)
     bdf = pd.DataFrame(
         {
@@ -87,6 +89,25 @@ def test_distributed_pairing_matches_driver(ray_session):
         }
     )
     got = dd._bucket_pairs_distributed(rd.from_pandas(bdf), ["band", "bh"], "doc_id", n_parts=7)
+    exp = dd._tri_pairs(bdf, ["band", "bh"], "doc_id")
+    gset = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    eset = set(map(tuple, exp[["id_a", "id_b"]].itertuples(index=False)))
+    assert gset == eset and len(gset) > 0
+
+
+def test_pairing_small_input_dispatch(ray_session):
+    """Below the banded-row threshold the dispatch pairs locally — result
+    identical to _tri_pairs, no groupby shuffle fixed cost."""
+    rng = np.random.default_rng(12)
+    bdf = pd.DataFrame(
+        {
+            "band": rng.integers(0, 4, 1000).astype(np.int32),
+            "bh": rng.integers(0, 60, 1000),
+            "doc_id": rng.integers(0, 300, 1000),
+        }
+    )
+    assert dd._LOCAL_PAIRING_ROWS > 1000
+    got = dd._bucket_pairs_distributed(rd.from_pandas(bdf), ["band", "bh"], "doc_id")
     exp = dd._tri_pairs(bdf, ["band", "bh"], "doc_id")
     gset = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
     eset = set(map(tuple, exp[["id_a", "id_b"]].itertuples(index=False)))
