@@ -36,6 +36,27 @@ def _calibrate_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _wait_quiet(threshold_ms: float = 60.0, max_wait_s: float = 180.0) -> tuple[float, bool]:
+    """Delay the timed section until TWO consecutive calibration probes read
+    below ``threshold_ms`` (the healthy-box reference is ~36 ms; contended
+    samples here have read 36x that). Returns (last_calib_ms, gated_ok).
+    Bounded wait: a permanently-contended box proceeds after ``max_wait_s``
+    with gated_ok=False stamped into the JSON, so a bad sample is LABELLED
+    rather than silently trusted. Disable with GRAFT_NO_CALIB_GATE=1."""
+    if os.environ.get("GRAFT_NO_CALIB_GATE"):
+        return _calibrate_ms(), False
+    t_end = time.time() + max_wait_s
+    last = _calibrate_ms()
+    while True:
+        cur = _calibrate_ms()
+        if last < threshold_ms and cur < threshold_ms:
+            return cur, True
+        if time.time() > t_end:
+            return cur, False
+        last = cur
+        time.sleep(2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -74,6 +95,10 @@ def main() -> None:
 
     _rd.range(4096).map_batches(lambda b: b, batch_size=128).materialize()
 
+    # calibration gate: don't start timing until the box is quiet (or the
+    # bounded wait expires — then the sample is stamped calib_gated=false)
+    calib_pre, calib_gated = _wait_quiet()
+
     timings: dict[str, float] = {}
 
     def run(name, fn):
@@ -99,6 +124,8 @@ def main() -> None:
         "transcript_rows": n_rows,
         "turns_per_sec": round(n_rows / headline, 1),
         "box_calib_ms": _calibrate_ms(),
+        "box_calib_ms_pre": calib_pre,
+        "calib_gated": calib_gated,
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -189,36 +216,56 @@ def big_run() -> None:
     _rd.range(4096).map_batches(lambda b: b, batch_size=128).materialize()
     out = f"/tmp/teleharvest_out/big{rows}_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
+    calib_pre, calib_gated = _wait_quiet()
     t0 = time.perf_counter()
     run_validation(data, out, ValidationConfig(), write_annotated=False)
     wall = round(time.perf_counter() - t0, 3)
     n_rows = json.load(open(os.path.join(data, "manifest.json")))["n_rows"]
     print(json.dumps({"value": wall, "rows": n_rows, "num_cpus": num_cpus,
                       "turns_per_sec": round(n_rows / wall, 1),
-                      "box_calib_ms": _calibrate_ms()}))
+                      "box_calib_ms": _calibrate_ms(),
+                      "box_calib_ms_pre": calib_pre,
+                      "calib_gated": calib_gated}))
     ray.shutdown()
 
 
 def scaling_big() -> None:
-    """2-vs-8 CPU pair on the 11M-turn input: at this size the fixed setup
+    """2-vs-8 CPU pairs on the 11M-turn input: at this size the fixed setup
     (~5-10 s of actor spin-up + phase-2 epilogue) amortizes, so the pair
-    isolates the engine's compute scaling from per-run overhead. One sample
-    per level (a 2-CPU run is ~7 min); read next to --scaling's medians."""
-    results = {}
-    for ncpu in (2, 8):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--big"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t2, t8 = results[2]["value"], results[8]["value"]
+    isolates the engine's compute scaling from per-run overhead.
+
+    Protocol (round-2 verdict ask): GRAFT_BIG_SAMPLES samples per level
+    (default 5, interleaved 2,8,2,8,... so slow box drift hits both levels
+    alike), each sample calibration-GATED before its timed section and
+    calib-stamped in the output; efficiency quoted from the per-level
+    MEDIANS, with every raw sample printed. The node-ceiling control (the
+    no-Ray numpy 8-worker relative throughput, BASELINE.md) is attached so
+    the efficiency can be normalized by what this box's memory system
+    permits any engine."""
+    n_samples = int(os.environ.get("GRAFT_BIG_SAMPLES", "5"))
+    runs: dict[int, list] = {2: [], 8: []}
+    for i in range(n_samples):
+        for ncpu in (2, 8):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--big"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            runs[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+    med = {n: sorted(r["value"] for r in runs[n])[len(runs[n]) // 2] for n in (2, 8)}
+    eff = round((med[2] / med[8]) / 4, 3)
+    node_ceiling = 0.77  # no-Ray numpy control: 8-worker relative throughput on this box
     print(json.dumps({
-        "rows": results[8]["rows"],
-        "sec_2": t2, "sec_8": t8,
-        "turns_per_sec_2": results[2]["turns_per_sec"],
-        "turns_per_sec_8": results[8]["turns_per_sec"],
-        "scaling_efficiency_2_to_8": round((t2 / t8) / 4, 3),
+        "protocol": f"median-of-{n_samples} per level, interleaved, calib-gated",
+        "rows": runs[8][0]["rows"],
+        "sec_2_median": med[2], "sec_8_median": med[8],
+        "all_sec_2": [r["value"] for r in runs[2]],
+        "all_sec_8": [r["value"] for r in runs[8]],
+        "calib_2": [[r.get("box_calib_ms_pre"), r.get("calib_gated")] for r in runs[2]],
+        "calib_8": [[r.get("box_calib_ms_pre"), r.get("calib_gated")] for r in runs[8]],
+        "scaling_efficiency_2_to_8": eff,
+        "node_ceiling_control": node_ceiling,
+        "efficiency_node_normalized": round(eff / node_ceiling, 3),
     }))
 
 

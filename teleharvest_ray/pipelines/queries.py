@@ -326,8 +326,12 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
 
 def q_embed_documents(sf_dir: str) -> pd.DataFrame:
     """Actor-pool embedding stage over documents (the A3 heavy-model seam,
-    stages/embed.py; hashed_bow backend — rows-only, hash-based). Emits a
-    per-doc summary of the embedding, computed vectorized per batch."""
+    stages/embed.py; hashed_bow backend). Emits a per-doc summary of the
+    embedding — dimensionality plus L2 norm, computed vectorized per batch.
+    The norm is the ORACLE-CHECKABLE invariant: hashed_bow L2-normalizes, so
+    every tokenizable doc must come out exactly unit-norm and every
+    empty/whitespace-only doc exactly zero — SQL can derive both from the
+    text alone, pinning the stage's normalization contract end-to-end."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     embedded = emb.embed_texts(ds, concurrency=2, batch_size=2048)
 
@@ -337,17 +341,17 @@ def q_embed_documents(sf_dir: str) -> pd.DataFrame:
             col = col.combine_chunks()
         flat = col.values.to_numpy(zero_copy_only=False)
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.zeros(len(col))
+        norms = np.zeros(len(col))
         if len(flat):
             m = int(np.searchsorted(offs[:-1], offs[-1], side="left"))
             if m:
-                sums[:m] = np.add.reduceat(flat[: offs[-1]], offs[:-1][:m])
-            sums[offs[1:] == offs[:-1]] = 0.0
+                norms[:m] = np.sqrt(np.add.reduceat(flat[: offs[-1]] ** 2, offs[:-1][:m]))
+            norms[offs[1:] == offs[:-1]] = 0.0
         return pa.table(
             {
                 "doc_id": tbl["doc_id"],
                 "vec_dim": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
-                "vec_sum": pa.array(np.round(sums, 6)),
+                "vec_norm": pa.array(np.round(norms, 6)),
             }
         )
 
@@ -449,10 +453,16 @@ TOP_K = 5
 
 
 def _load_queries(sf_dir: str):
-    emb = pq.read_table(_p(sf_dir, "embeddings"))
-    df = emb.to_pandas()
-    q = df[df.vec_id < N_QUERIES].sort_values("vec_id")
-    return np.stack(q.embedding.to_numpy()).astype(np.float64), q.vec_id.to_numpy()
+    # row-group filter pushdown: only the N_QUERIES query vectors leave disk
+    # (reading the whole embeddings table to select 8 rows cost ~0.5 s at
+    # sf0.1 and grows linearly with the corpus)
+    emb = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    df = emb.to_pandas().sort_values("vec_id")
+    return np.stack(df.embedding.to_numpy()).astype(np.float64), df.vec_id.to_numpy()
 
 
 def q_similarity_topk(sf_dir: str) -> pd.DataFrame:
@@ -1123,9 +1133,11 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_split_counts(sf_dir: str) -> pd.DataFrame:
-    """Deterministic train/val/test hash split over documents (rows-only:
-    keyed-hash assignment isn't SQL-expressible; the split invariants —
-    disjoint, complete, order-independent — are property-tested)."""
+    """Deterministic train/val/test hash split over documents. Oracle-backed:
+    the splitmix64 keyed assignment is reproduced bit-exactly in DuckDB SQL
+    (:func:`_hash_split_sql` — 32-bit-half wraparound multiply), so the
+    per-split counts hash-match; the split invariants — disjoint, complete,
+    order-independent — are additionally property-tested."""
     from ..stages import sampling as sp
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
@@ -1231,7 +1243,7 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     vocabulary (contrast q_word_count, which shuffles every distinct word)."""
     from ..functions.sketches import SpaceSaving
 
-    K, CAP, SLACK = 10, 8192, 200
+    K, CAP = 10, 8192
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
 
     def sketch(tbl: pa.Table) -> pa.Table:
@@ -1246,7 +1258,12 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     merged = SpaceSaving(CAP)
     for b in blobs:
         merged.merge(SpaceSaving.from_bytes(b))
-    cands = set(merged.candidates(SLACK))
+    # verify ALL CAP counters exactly, not a ranked top slice: merge-inflated
+    # estimates can rank a true top-K item arbitrarily low among the
+    # counters, but the superset guarantee (true freq > n/CAP ⇒ among
+    # counters) only covers the full counter set. The candidate set stays
+    # sketch-sized (≤ CAP), never vocabulary-sized.
+    cands = set(merged.candidates(CAP))
 
     cand_ref = _ray.put(cands)
 
@@ -1285,8 +1302,46 @@ ORACLE_SQL["q_heavy_hitters"] = """
     GROUP BY w ORDER BY n DESC, w LIMIT 10
 """
 
+def _hash_split_sql(seed: int = 97) -> str:
+    """DuckDB SQL reproducing hash_split's splitmix64 keyed assignment
+    EXACTLY: 64-bit wraparound multiply emulated as two 32-bit halves in
+    HUGEINT (a full 64x64 product overflows INT128), so the oracle computes
+    the identical split for every doc_id — the keyed-hash split is
+    SQL-expressible after all."""
+    m64 = 2**64
+    c1h, c1l = divmod(0xBF58476D1CE4E5B9, 2**32)
+    c2h, c2l = divmod(0x94D049BB133111EB, 2**32)
+
+    def mul(ch: int, cl: int) -> str:  # (y * c) mod 2^64, y already UBIGINT
+        return (
+            f"CAST(((CAST(y AS HUGEINT) % 4294967296) * {cl} + "
+            f"(((CAST(y AS HUGEINT) % 4294967296) * {ch} + "
+            f"(CAST(y AS HUGEINT) // 4294967296) * {cl}) % 4294967296) * 4294967296) "
+            f"% {m64} AS UBIGINT)"
+        )
+
+    return f"""
+    WITH s0 AS (SELECT xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS x FROM documents),
+    s1 AS (SELECT CAST((CAST(x AS HUGEINT) + {0x9E3779B97F4A7C15}) % {m64} AS UBIGINT) AS x FROM s0),
+    s2 AS (SELECT {mul(c1h, c1l)} AS x FROM (SELECT xor(x, x >> 30) AS y FROM s1)),
+    s3 AS (SELECT {mul(c2h, c2l)} AS x FROM (SELECT xor(x, x >> 27) AS y FROM s2)),
+    h AS (SELECT xor(x, x >> 31) % 1000000 AS r FROM s3)
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN r < 800000 THEN 'train' WHEN r < 900000 THEN 'val' ELSE 'test' END AS split FROM h
+    ) GROUP BY split ORDER BY split
+    """
+
+
 QUERIES["q_pack_shards"] = q_pack_shards
 QUERIES["q_split_counts"] = q_split_counts
+ORACLE_SQL["q_split_counts"] = _hash_split_sql()
+ORACLE_SQL["q_embed_documents"] = """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS vec_dim,
+           CAST(CASE WHEN text IS NOT NULL AND regexp_matches(text, '\\S')
+                THEN 1.0 ELSE 0.0 END AS DOUBLE) AS vec_norm
+    FROM documents ORDER BY doc_id
+"""
 QUERIES["q_mod_sample"] = q_mod_sample
 QUERIES["q_zscore_by_lang"] = q_zscore_by_lang
 ORACLE_SQL["q_mod_sample"] = """

@@ -32,6 +32,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from ..functions.arrays import list_to_mat
 from ..functions.hashing import hash_strings, splitmix64
 
 _U64 = np.uint64
@@ -107,10 +108,17 @@ def minhash_signatures(
     sig = np.full((n, n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sig
+    # h_i(x) = a_i * x + b_i wrapping mod 2^64 (multiply-shift family) — the
+    # explicit Mersenne modulo cost a uint64 division per element and the
+    # (n_shingles, n_hashes) matrix + np.minimum.at cost ~10x the arithmetic
+    # (ufunc.at is scalar-looped). Per-hash segment-min via reduceat instead:
+    # explode order keeps `rows` nondecreasing, so segments are contiguous.
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    present = rows[starts]
     with np.errstate(over="ignore"):
-        # h_i(x) = (a_i * x + b_i) mod 2^61-1  (universal family, vectorized)
-        hx = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-    np.minimum.at(sig, rows, hx)
+        for i in range(n_hashes):
+            hx = sh * a[i] + b[i]
+            sig[present, i] = np.minimum.reduceat(hx, starts)
     return sig
 
 
@@ -471,7 +479,7 @@ def embedding_near_dup_lsh(
     with corpus size to keep buckets bounded, ``n_tables`` to keep recall."""
 
     def to_buckets(tbl: pa.Table) -> pa.Table:
-        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        vecs = list_to_mat(tbl[vec_col])
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         # deterministic given (seed, dim): identical planes in every batch
         planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, vecs.shape[1]))
@@ -552,7 +560,7 @@ def embedding_near_dup(
     def per_batch(tbl: pa.Table) -> pa.Table:
         mat = ray.get(mat_ref)
         aids = ray.get(ids_ref)
-        vecs = np.stack(tbl[vec_col].to_pandas().to_numpy())
+        vecs = list_to_mat(tbl[vec_col])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         sims = vecs @ mat.T

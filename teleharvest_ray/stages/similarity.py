@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..functions.arrays import list_to_mat
+
 
 def _l2(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -44,7 +46,7 @@ def topk_cosine(
     def per_batch(tbl: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         qids = ray.get(qid_ref)
-        vecs = _l2(np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        vecs = _l2(list_to_mat(tbl[vec_col]))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         sims = q @ vecs.T  # (n_q, n_batch)
         if exclude_self:
@@ -141,7 +143,7 @@ def lsh_bucket_topk(
 
     def per_batch(tbl: pa.Table) -> pa.Table:
         q, qids, qsig, pl = ray.get(q_ref)
-        vecs = _l2(np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        vecs = _l2(list_to_mat(tbl[vec_col]))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         nt, npl = pl.shape[0], pl.shape[2]
         sig = np.stack(
@@ -222,7 +224,7 @@ def ivf_topk(
 
     def per_batch(tbl: pa.Table) -> pa.Table:
         q, qids, cm, pmask = ray.get(ref)
-        vecs = _l2(np.stack(tbl[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        vecs = _l2(list_to_mat(tbl[vec_col]))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         assign = np.argmax(vecs @ cm.T, axis=1)  # (n_batch,)
         rows_q, rows_id, rows_sim = _blockwise_topk_pairs(

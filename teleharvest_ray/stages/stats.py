@@ -21,9 +21,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import ValidationConfig
-from ..functions.sketches import HistogramSketch, HyperLogLog
+from ..functions.sketches import HistogramSketch, HyperLogLog, KLLSketch
 from ..functions.textfuncs import token_count
 from ..state.profile import ReferenceProfile
+
+_METRIC_COLS = ("views", "reactions", "forwards")
 
 
 def partition_stats(tbl: pa.Table, cfg: ValidationConfig) -> dict:
@@ -49,6 +51,19 @@ def partition_stats(tbl: pa.Table, cfg: ValidationConfig) -> dict:
     toks = token_count(tbl["text"]).astype(np.float64)
     token_hist.update(toks[~np.isnan(toks)])
     out["token_hist"] = token_hist
+    # engagement-rate quantile sketch: ER is an UNBOUNDED float (reactions +
+    # forwards can exceed views), so the fixed-bin HistogramSketch doesn't
+    # apply — KLL handles arbitrary ranges at fixed memory. Consumed by
+    # stats_summary and the cross-run drift comparison (compare_run_stats).
+    er_kll = KLLSketch(k=cfg.kll_k)
+    if all(c in tbl.column_names for c in _METRIC_COLS):
+        views = tbl["views"].to_numpy(zero_copy_only=False).astype(np.float64)
+        reac = tbl["reactions"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fwd = tbl["forwards"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            er = np.where(views > 0, (reac + fwd) / np.maximum(views, 1), 0.0)
+        er_kll.update(er[~(np.isnan(views) | np.isnan(reac) | np.isnan(fwd))])
+    out["er_kll"] = er_kll
     # categorical frequencies
     out["role_freq"] = _freq(tbl, "role")
     out["tool_freq"] = _freq(tbl, "tool")
@@ -80,6 +95,8 @@ def merge_stats(a: dict, b: dict) -> dict:
         "conv_hll": a["conv_hll"].merge(b["conv_hll"]),
         "len_hist": a["len_hist"].merge(b["len_hist"]),
         "token_hist": a["token_hist"].merge(b["token_hist"]),
+        # .get: checkpoint sketch states from pre-ER-KLL runs merge cleanly
+        "er_kll": _merge_kll(a.get("er_kll"), b.get("er_kll")),
         "role_freq": _merge_freq(a["role_freq"], b["role_freq"]),
         "tool_freq": _merge_freq(a["tool_freq"], b["tool_freq"]),
         "numeric": {},
@@ -99,12 +116,31 @@ def _merge_freq(a: dict, b: dict) -> dict:
     return {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
 
 
+def _merge_kll(a, b):
+    if a is None:
+        return b if b is not None else KLLSketch()
+    if b is None:
+        return a
+    return a.merge(b)
+
+
 def stats_to_bytes(stats: dict) -> bytes:
     return zlib.compress(pickle.dumps(stats, protocol=4), 3)
 
 
 def stats_from_bytes(b: bytes) -> dict:
     return pickle.loads(zlib.decompress(b))
+
+
+def _kll_summary(kll) -> dict | None:
+    if kll is None or kll.n == 0:
+        return None
+    return {
+        "n": kll.n,
+        "p50": round(float(kll.quantile(0.5)), 6),
+        "p95": round(float(kll.quantile(0.95)), 6),
+        "p99": round(float(kll.quantile(0.99)), 6),
+    }
 
 
 def stats_summary(stats: dict) -> dict:
@@ -124,6 +160,7 @@ def stats_summary(stats: dict) -> dict:
             "p50": stats["token_hist"].quantile(0.5),
             "p95": stats["token_hist"].quantile(0.95),
         },
+        "engagement_rate": _kll_summary(stats.get("er_kll")),
         "role_freq": stats["role_freq"],
         "tool_freq": stats["tool_freq"],
         "numeric": stats["numeric"],
@@ -186,6 +223,10 @@ def compare_run_stats(a: dict, b: dict) -> dict:
         "text_len_ks": round(a["len_hist"].ks_distance(b["len_hist"]), 6),
         "token_p50_rel_delta": _rel_delta(a["token_hist"].quantile(0.5), b["token_hist"].quantile(0.5)),
         "token_p95_rel_delta": _rel_delta(a["token_hist"].quantile(0.95), b["token_hist"].quantile(0.95)),
+        # ER-distribution drift from the KLL quantile sketch (unbounded float
+        # — outside HistogramSketch's fixed-bin domain)
+        "er_p50_rel_delta": _kll_rel_delta(a.get("er_kll"), b.get("er_kll"), 0.5),
+        "er_p95_rel_delta": _kll_rel_delta(a.get("er_kll"), b.get("er_kll"), 0.95),
         "approx_distinct_convs_a": int(a["conv_hll"].estimate()),
         "approx_distinct_convs_b": int(b["conv_hll"].estimate()),
     }
@@ -195,3 +236,9 @@ def _rel_delta(x: float, y: float) -> float:
     if np.isnan(x) or np.isnan(y) or y == 0:
         return float("nan")
     return round(abs(x - y) / abs(y), 6)
+
+
+def _kll_rel_delta(a, b, q: float) -> float:
+    if a is None or b is None or a.n == 0 or b.n == 0:
+        return float("nan")
+    return _rel_delta(float(a.quantile(q)), float(b.quantile(q)))

@@ -156,3 +156,55 @@ def test_spacesaving_roundtrip_bytes():
     s.update(np.array(["a", "b", "a", "c"], dtype=object))
     r = SpaceSaving.from_bytes(s.to_bytes())
     assert r.counts == s.counts and r.errs == s.errs and r.n == s.n
+
+
+def test_er_kll_wired_through_partition_stats():
+    """The ER KLL sketch is a consumed pipeline component: partition_stats
+    builds it, merge_stats folds it associatively, stats_summary and
+    compare_run_stats surface its quantiles."""
+    import pyarrow as pa
+
+    from teleharvest_ray.config import ValidationConfig
+    from teleharvest_ray.stages.stats import (
+        compare_run_stats,
+        merge_stats,
+        partition_stats,
+        stats_summary,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    views = rng.integers(1, 1000, n).astype("int64")
+    reac = rng.integers(0, 50, n).astype("int64")
+    fwd = rng.integers(0, 20, n).astype("int64")
+
+    def mk(lo, hi):
+        return pa.table(
+            {
+                "conv_id": pa.array([f"c{i % 97}" for i in range(lo, hi)]),
+                "turn_idx": pa.array(np.arange(lo, hi, dtype=np.int32)),
+                "text": pa.array(["hello world sample text"] * (hi - lo)),
+                "role": pa.array(["user"] * (hi - lo)),
+                "tool": pa.array([None] * (hi - lo), pa.string()),
+                "views": pa.array(views[lo:hi]),
+                "reactions": pa.array(reac[lo:hi]),
+                "forwards": pa.array(fwd[lo:hi]),
+            }
+        )
+
+    cfg = ValidationConfig()
+    s1 = partition_stats(mk(0, 2000), cfg)
+    s2 = partition_stats(mk(2000, n), cfg)
+    merged = merge_stats(s1, s2)
+    er = (reac + fwd) / np.maximum(views, 1)
+    summ = stats_summary(merged)["engagement_rate"]
+    assert summ is not None and summ["n"] == n
+    for q, key in ((0.5, "p50"), (0.95, "p95")):
+        exact = float(np.quantile(er, q))
+        assert abs(summ[key] - exact) <= max(0.25 * exact, 0.02), (q, summ[key], exact)
+    cmp = compare_run_stats(merged, merged)
+    assert cmp["er_p50_rel_delta"] == 0.0 and cmp["er_p95_rel_delta"] == 0.0
+    # pre-ER checkpoint states (no er_kll key) still merge
+    legacy = {k: v for k, v in s1.items() if k != "er_kll"}
+    m2 = merge_stats(legacy, s2)
+    assert m2["er_kll"].n == s2["er_kll"].n
