@@ -53,6 +53,13 @@ class ValidationConfig:
 
     # --- execution knobs ---
     batch_size: int = 16384
+    # CPUs requested per PartitionValidator actor. The validator is MEMORY-
+    # BANDWIDTH-bound (byte-LUT scans, hashing, Arrow decode), not ALU-bound:
+    # one actor per vCPU oversubscribes the memory system (measured on the
+    # 32-vCPU bench node: 16 actors → 20.6 s, 32 actors → 74 s on the same
+    # input). 2 vCPUs per actor keeps per-actor bandwidth healthy and ports
+    # to real cluster nodes, where vCPU:bandwidth ratios are similar.
+    validator_num_cpus: float = 2.0
 
     # Declaratively disabled checks (the check-registry extension seam,
     # SURVEY.md §2.9): ids from schema.CHAIN_CHECKS / schema.GLOBAL_CHECKS.

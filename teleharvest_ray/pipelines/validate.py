@@ -347,13 +347,16 @@ def run_validation(
     new_records = []
     if todo:
         avail = int(ray.available_resources().get("CPU", 4))
-        conc = concurrency or max(1, min(len(todo), avail))
+        # actors sized to memory bandwidth, not vCPU count (see
+        # ValidationConfig.validator_num_cpus) — explicit concurrency wins
+        conc = concurrency or max(1, min(len(todo), int(avail / cfg.validator_num_cpus)))
         ds = rd.from_items(todo)
         result = ds.map_batches(
             PartitionValidator,
             fn_constructor_args=(cfg, profile_ref, out_dir, write_annotated),
             batch_size=1,
             concurrency=conc,
+            num_cpus=cfg.validator_num_cpus if concurrency is None else 1.0,
             batch_format="pandas",
         )
         # stream records into the checkpoint store as partitions finish
