@@ -310,6 +310,48 @@ def q_quality_counts(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def q_pii_scan(sf_dir: str) -> pd.DataFrame:
+    """Corpus PII/contamination audit: per-doc RE2 pattern counts rolled up
+    to totals + affected-doc counts (oracle-backed — DuckDB is RE2 too, so
+    the match counts agree exactly; see stages/text_analysis.PII_PATTERNS)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        return ta.pii_scan(tbl)
+
+    per_doc = ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+    agg = per_doc.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_email", alias_name="total_emails"),
+        Sum("n_url", alias_name="total_urls"),
+        Sum("n_intl_phone", alias_name="total_phones"),
+        Sum("n_marker", alias_name="total_markers"),
+    )
+    flags = per_doc.map_batches(
+        lambda t: pa.table(
+            {
+                "e": pc.cast(pc.greater(t["n_email"], 0), pa.int64()),
+                "m": pc.cast(pc.greater(t["n_marker"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).aggregate(Sum("e", alias_name="docs_with_email"), Sum("m", alias_name="docs_with_marker"))
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": agg["n_docs"],
+                "total_emails": agg["total_emails"],
+                "total_urls": agg["total_urls"],
+                "total_phones": agg["total_phones"],
+                "total_markers": agg["total_markers"],
+                "docs_with_email": flags["docs_with_email"],
+                "docs_with_marker": flags["docs_with_marker"],
+            }
+        ]
+    )
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     """Heuristic language-ID as an actor-pool stage (rows-only: the heuristic
     is deterministic but not SQL-expressible)."""
@@ -1331,6 +1373,18 @@ def _hash_split_sql(seed: int = 97) -> str:
     ) GROUP BY split ORDER BY split
     """
 
+
+QUERIES["q_pii_scan"] = q_pii_scan
+ORACLE_SQL["q_pii_scan"] = """
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS total_emails,
+           CAST(SUM(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS BIGINT) AS total_urls,
+           CAST(SUM(len(regexp_extract_all(text, '\\+[0-9]{7,15}'))) AS BIGINT) AS total_phones,
+           CAST(SUM(len(regexp_extract_all(text, '(slow|error)'))) AS BIGINT) AS total_markers,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN regexp_matches(text, '(slow|error)') THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_marker
+    FROM documents
+"""
 
 QUERIES["q_pack_shards"] = q_pack_shards
 QUERIES["q_split_counts"] = q_split_counts

@@ -96,3 +96,39 @@ def fingerprint64(tbl: pa.Table, text_col: str = "text", out_col: str = "fingerp
     h = hash_strings(np.asarray(norm.to_pandas(), dtype=object))
     h = splitmix64(h)
     return tbl.append_column(out_col, pa.array(h.astype(np.int64)))
+
+
+#: RE2 patterns shared verbatim with the DuckDB oracle (both engines are
+#: RE2-backed, so non-overlapping leftmost match counts agree exactly).
+#: Conservative ASCII shapes — a production scan would tune per corpus.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "intl_phone": r"\+[0-9]{7,15}",
+}
+
+#: benchmark-contamination / quality markers scanned alongside PII (the
+#: eval-set-leak audit); separate dict because redaction must NOT touch them
+CONTAMINATION_PATTERNS: dict[str, str] = {
+    "marker": r"(slow|error)",
+}
+
+
+def pii_scan(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc PII/contamination pattern counts (one vectorized RE2 pass per
+    pattern — the pre-redaction audit step of a training-data pipeline)."""
+    cols = {c: tbl[c] for c in tbl.column_names if c != text_col}
+    for name, pat in {**PII_PATTERNS, **CONTAMINATION_PATTERNS}.items():
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(tbl[text_col], pattern=pat), pa.int64()
+        )
+    return pa.table(cols)
+
+
+def redact(tbl: pa.Table, text_col: str = "text", token: str = "<PII>") -> pa.Table:
+    """Replace every PII pattern match with ``token`` (the masking stage that
+    pairs with :func:`pii_scan`; chained regex replaces, all vectorized)."""
+    text = tbl[text_col]
+    for pat in PII_PATTERNS.values():
+        text = pc.replace_substring_regex(text, pattern=pat, replacement=token)
+    return tbl.set_column(tbl.column_names.index(text_col), text_col, text)

@@ -90,3 +90,39 @@ def test_fingerprint_whitespace_case_invariant():
     assert f1 == f2
     t3 = pa.table({"doc_id": [1], "text": ["different text"]})
     assert ta.fingerprint64(t3)["fingerprint"].to_pylist() != f1
+
+
+def test_pii_scan_and_redact_parity():
+    """pii_scan counts match DuckDB's RE2 on the same patterns; redact
+    removes every match it counted."""
+    import duckdb
+    import pyarrow as pa
+
+    from teleharvest_ray.stages import text_analysis as ta
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact a@b.co or c.d+x@e-f.org now",
+                    "see https://x.io/p?q=1 and http://y.z/a",
+                    "call +4915112345678 twice +123456789",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = ta.pii_scan(tbl).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for name, pat in {**ta.PII_PATTERNS, **ta.CONTAMINATION_PATTERNS}.items():
+        sql = con.execute(
+            f"SELECT coalesce(len(regexp_extract_all(text, '{pat}')), 0) FROM t ORDER BY doc_id"
+        ).fetchall()
+        got = out[f"n_{name}"].fillna(0).tolist()
+        assert got == [r[0] for r in sql], (name, got, sql)
+    red = ta.redact(tbl).to_pandas()
+    rescan = ta.pii_scan(pa.Table.from_pandas(red.rename(columns={}), preserve_index=False)).to_pandas()
+    for name in ta.PII_PATTERNS:
+        assert rescan[f"n_{name}"].fillna(0).sum() == 0, name
