@@ -46,9 +46,14 @@ def test_kll_quantile_within_rank_error(vals, q):
     est = s.quantile(q)
     arr = np.sort(vals)
     # rank of the estimate must be within eps*n of target rank (KLL guarantee
-    # shape; generous eps for the small-k deterministic variant)
-    rank = np.searchsorted(arr, est, side="right")
-    assert abs(rank - q * len(arr)) <= max(4.5, 0.2 * len(arr))
+    # shape; generous eps for the small-k deterministic variant). With ties,
+    # any rank in [searchsorted-left, searchsorted-right] maps to the same
+    # value, so measure error against the nearest rank in that interval.
+    lo = np.searchsorted(arr, est, side="left")
+    hi = np.searchsorted(arr, est, side="right")
+    target = q * len(arr)
+    err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+    assert err <= max(4.5, 0.2 * len(arr))
 
 
 texts = st.lists(
