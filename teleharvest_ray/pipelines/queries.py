@@ -1444,3 +1444,47 @@ ORACLE_SQL["q_nation_order_stats"] = """
                 JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join — the brief's canonical custom operator Ray Data lacks
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Attribute each purchase to the user's latest at-or-before view (the
+    classic event-attribution as-of join; reference analog: the watermark
+    'latest message before cursor' lookup, services/telegram_service.py:39).
+    Both sides are filter-pushed at the read; the join is the bucketed
+    one-shuffle ``jn.asof_join`` (co-location by hash(user_id) % B, vectorized
+    merged-lexsort match per bucket). gap_us is an exact integer on both
+    sides, so the oracle hash-compares bit-exactly."""
+    cols = ["event_id", "ts", "user_id", "value"]
+    p = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "purchase"
+    )
+    v = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "view"
+    )
+    out = jn.asof_join(
+        p, v, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "view_event_id", "ts": "view_ts", "value": "view_value"},
+    ).to_pandas()
+    out["gap_us"] = (
+        out["ts"].astype("int64") - out["view_ts"].astype("int64")
+    ).astype("int64")
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "view_event_id", "gap_us", "view_value"]]
+
+
+QUERIES["q_asof_join"] = q_asof_join
+ORACLE_SQL["q_asof_join"] = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           v.value AS view_value
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY event_id
+"""

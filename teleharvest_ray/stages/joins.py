@@ -155,6 +155,144 @@ def bucketed_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_match(
+    lkey: np.ndarray, lts: np.ndarray, rkey: np.ndarray, rts: np.ndarray
+) -> np.ndarray:
+    """For each left row, the index of the LATEST right row with the same key
+    and ``rts <= lts`` (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics),
+    or -1. Fully vectorized: merge both sides, lexsort by (key, ts, side)
+    with right-before-left on ties, then one ``maximum.accumulate`` carries
+    the most recent right row past every left row. The carry crosses key
+    boundaries, so a carried candidate is validated by key equality — a
+    candidate from the previous key fails the check and yields -1.
+    O((nl+nr) log(nl+nr)), no Python loop."""
+    nl, nr = len(lkey), len(rkey)
+    key = np.concatenate([rkey, lkey])
+    ts = np.concatenate([rts, lts])
+    side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+    order = np.lexsort((side, ts, key))
+    so = side[order]
+    pos_val = np.where(so == 0, np.arange(nl + nr), -1)
+    carry = np.maximum.accumulate(pos_val)  # sorted-pos of last right row seen
+    is_left = so == 1
+    cand = carry[is_left]
+    left_orig = order[is_left] - nr
+    match = np.full(nl, -1, np.int64)
+    ok = cand >= 0
+    cand_right = order[cand[ok]]  # original right index (side==0 ⇒ < nr)
+    valid = rkey[cand_right] == lkey[left_orig[ok]]
+    match[left_orig[ok]] = np.where(valid, cand_right, -1)
+    return match
+
+
+#: below this many total rows the as-of join runs driver-local — the bucketed
+#: shuffle's ~1.4 s fixed overhead dominates toy inputs (same dispatch pattern
+#: as dedup._LOCAL_PAIRING_ROWS / validate's conv-partials threshold)
+_LOCAL_ASOF_ROWS = 2_000_000
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Distributed as-of join — a custom operator Ray Data lacks (SURVEY.md
+    §2 extras; the brief's canonical example). Each left row is matched to
+    the latest right row with the same ``on`` key and ``right_ts <=
+    left_ts``; unmatched left rows are dropped (inner, DuckDB ASOF JOIN
+    default).
+
+    Partitioning assumption (documented per the brief): co-location by key —
+    every row of one key lands in one bucket via ``hash(on) % B``, the same
+    ONE-shuffle union+groupby shape as :func:`bucketed_hash_join`; the
+    within-bucket match is the vectorized :func:`asof_match` kernel. Skewed
+    keys dilute as ``n_buckets`` grows; time-range bucketing would be the
+    alternative when one key dominates an entire bucket.
+
+    ``right_cols`` maps right-side column -> output name (rename avoids
+    collisions; the right ts column may be included to emit the match time).
+
+    Determinism contract (same as DuckDB ASOF JOIN): the right side should be
+    unique on ``(on, right_ts)`` — among exact duplicates the selected row is
+    arbitrary (and here depends on block order, which the shuffle permutes).
+    """
+    try:
+        total = left.count() + right.count()
+    except Exception:
+        total = 0
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
+    lcols = list(left.schema().names)
+    rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
+    right = right.select_columns(rneeded)
+    rcols = list(right.schema().names)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    ldtypes = _pandas_dtypes(left)
+    rdtypes = _pandas_dtypes(right)
+    out_cols = lcols + [right_cols[c] for c in right_cols]
+    out_dtypes = dict(ldtypes)
+    for c, name in right_cols.items():
+        out_dtypes[name] = rdtypes.get(c, np.dtype("O"))
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
+
+    def _match_frames(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return _empty()
+        m = asof_match(
+            l[on].to_numpy(), l[left_ts].to_numpy(), r[on].to_numpy(), r[right_ts].to_numpy()
+        )
+        hit = m >= 0
+        if not hit.any():
+            return _empty()
+        out = l[hit].reset_index(drop=True)
+        rs = r.iloc[m[hit]].reset_index(drop=True)
+        for c, name in right_cols.items():
+            out[name] = rs[c]
+        for c, dt in out_dtypes.items():  # restore dtypes the union promoted
+            if c in out.columns and out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out[out_cols]
+
+    if 0 < total <= _LOCAL_ASOF_ROWS:
+        import ray.data as _rd
+
+        out = _match_frames(left.to_pandas(), right.to_pandas())
+        return _rd.from_pandas(out)
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.reindex(columns=all_cols)
+            batch["__side"] = side
+            batch["__bucket"] = (
+                _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)
+            ).astype(np.int32)
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty()
+        l = g[g["__side"] == "l"][lcols].reset_index(drop=True)
+        r = g[g["__side"] == "r"][rcols].reset_index(drop=True)
+        return _match_frames(l, r)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def anti_join_keys(big: Dataset, keys: np.ndarray, on: str, anti: bool = True) -> Dataset:
     """Anti (or semi) join against a broadcast key set — referential
     orphan detection (north_rule; the orphan_conv seam)."""

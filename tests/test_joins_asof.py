@@ -1,0 +1,90 @@
+"""As-of join: kernel correctness vs brute force, distributed-path
+equivalence (threshold forced to 0, same pattern as the dedup pairing
+equivalence test), and >=-tie semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+import teleharvest_ray.stages.joins as jn
+
+
+def _brute(lkey, lts, rkey, rts):
+    out = np.full(len(lkey), -1, np.int64)
+    for i in range(len(lkey)):
+        best = (-1, -1)
+        for j in range(len(rkey)):
+            if rkey[j] == lkey[i] and rts[j] <= lts[i] and (rts[j], j) > best:
+                best = (rts[j], j)
+        out[i] = best[1]
+    return out
+
+
+def test_asof_match_vs_brute_force():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        nl, nr = rng.integers(0, 50, 2)
+        lkey = rng.integers(0, 8, nl)
+        rkey = rng.integers(0, 8, nr)
+        lts = rng.integers(0, 60, nl)
+        rts = rng.integers(0, 60, nr)
+        got = jn.asof_match(lkey, lts, rkey, rts)
+        assert (got == _brute(lkey, lts, rkey, rts)).all()
+
+
+def test_asof_match_equal_ts_is_matched():
+    # >= semantics: a right row AT the left timestamp is eligible
+    m = jn.asof_match(np.array([1]), np.array([10]), np.array([1, 1]), np.array([10, 5]))
+    assert m[0] == 0
+
+
+def _mk_sides(n_left=400, n_right=600, seed=3):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n_left),
+            "t": rng.integers(0, 10_000, n_left).astype("datetime64[us]"),
+            "lv": rng.normal(size=n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n_right),
+            "t": rng.integers(0, 10_000, n_right).astype("datetime64[us]"),
+            "rv": rng.normal(size=n_right),
+        }
+    )
+    # determinism contract: right side unique on (k, t) — among exact
+    # duplicates the selected row is arbitrary (same as DuckDB ASOF)
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+def _run(left, right, **kw):
+    out = jn.asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        right_cols={"t": "rt", "rv": "rv"},
+        **kw,
+    ).to_pandas()
+    return out.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+
+
+def test_asof_join_distributed_matches_local(ray_session, monkeypatch):
+    left, right = _mk_sides()
+    local = _run(left, right)
+    monkeypatch.setattr(jn, "_LOCAL_ASOF_ROWS", 0)
+    dist = _run(left, right, n_buckets=8)
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+    assert len(local) > 0
+    # inner semantics: only matched left rows, and every match is at-or-before
+    assert (local["rt"] <= local["t"]).all()
+    # spot-check a row against brute force over the raw frames
+    row = local.iloc[0]
+    cand = right[(right.k == row.k) & (right.t <= row.t)]
+    assert len(cand) and cand.t.max() == row.rt
