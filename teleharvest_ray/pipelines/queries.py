@@ -1488,3 +1488,43 @@ ORACLE_SQL["q_asof_join"] = """
     FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY event_id
 """
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """All views by the same user within 8 hours before each purchase (the
+    band/interval-join recast of the reference's bounded historical re-scan
+    window, processor.py:65-71). Filter-pushed reads on both sides; one
+    bucketed shuffle; vectorized per-bucket ``jn.range_match``. gap_us is an
+    exact integer, so the oracle hash-compares bit-exactly."""
+    cols = ["event_id", "ts", "user_id", "value"]
+    p = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "purchase"
+    )
+    v = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "view"
+    )
+    out = jn.range_join(
+        p, v, on="user_id", left_ts="ts", right_ts="ts",
+        before=np.timedelta64(8, "h"), after=np.timedelta64(0, "h"),
+        right_cols={"event_id": "view_event_id", "ts": "view_ts", "value": "view_value"},
+    ).to_pandas()
+    out["gap_us"] = (
+        out["ts"].astype("int64") - out["view_ts"].astype("int64")
+    ).astype("int64")
+    out = out.sort_values(["event_id", "view_event_id"]).reset_index(drop=True)
+    return out[["event_id", "user_id", "view_event_id", "gap_us", "view_value"]]
+
+
+QUERIES["q_range_join"] = q_range_join
+ORACLE_SQL["q_range_join"] = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           v.value AS view_value
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 8 HOUR AND p.ts
+    ORDER BY event_id, view_event_id
+"""

@@ -185,10 +185,70 @@ def asof_match(
     return match
 
 
-#: below this many total rows the as-of join runs driver-local — the bucketed
-#: shuffle's ~1.4 s fixed overhead dominates toy inputs (same dispatch pattern
-#: as dedup._LOCAL_PAIRING_ROWS / validate's conv-partials threshold)
-_LOCAL_ASOF_ROWS = 2_000_000
+#: below this many total rows the as-of/range joins run driver-local — the
+#: bucketed shuffle's ~1.4 s fixed overhead dominates toy inputs (same dispatch
+#: pattern as dedup._LOCAL_PAIRING_ROWS / validate's conv-partials threshold)
+_LOCAL_MATCH_ROWS = 2_000_000
+
+
+def _sized_buckets(left: Dataset, right: Dataset, n_buckets: int | None) -> tuple[int, int]:
+    """(total rows, bucket count) for a two-sided keyed join; count() is
+    metadata-cheap for parquet reads but executes pending transforms — pass an
+    explicit n_buckets when the inputs are expensive pipelines."""
+    try:
+        total = left.count() + right.count()
+    except Exception:
+        total = 0
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
+    return total, n_buckets
+
+
+def _matched_two_sided(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    lcols: list,
+    rcols: list,
+    match_frames,
+    empty,
+    n_buckets: int,
+    total: int,
+):
+    """Shared scaffold for the as-of and range joins: driver-local dispatch
+    under :data:`_LOCAL_MATCH_ROWS`, else tag both sides with ``hash(on) % B``,
+    union, ONE groupby(bucket) shuffle, and run ``match_frames(l, r)`` per
+    bucket (the same one-shuffle shape as :func:`bucketed_hash_join`)."""
+    if 0 < total <= _LOCAL_MATCH_ROWS:
+        import ray.data as _rd
+
+        return _rd.from_pandas(match_frames(left.to_pandas(), right.to_pandas()))
+
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.reindex(columns=all_cols)
+            batch["__side"] = side
+            batch["__bucket"] = (
+                _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)
+            ).astype(np.int32)
+            return batch
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty()
+        l = g[g["__side"] == "l"][lcols].reset_index(drop=True)
+        r = g[g["__side"] == "r"][rcols].reset_index(drop=True)
+        return match_frames(l, r)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
 def asof_join(
@@ -220,17 +280,11 @@ def asof_join(
     unique on ``(on, right_ts)`` — among exact duplicates the selected row is
     arbitrary (and here depends on block order, which the shuffle permutes).
     """
-    try:
-        total = left.count() + right.count()
-    except Exception:
-        total = 0
-    if n_buckets is None:
-        n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
+    total, n_buckets = _sized_buckets(left, right, n_buckets)
     lcols = list(left.schema().names)
     rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
     right = right.select_columns(rneeded)
     rcols = list(right.schema().names)
-    all_cols = lcols + [c for c in rcols if c not in lcols]
     ldtypes = _pandas_dtypes(left)
     rdtypes = _pandas_dtypes(right)
     out_cols = lcols + [right_cols[c] for c in right_cols]
@@ -262,35 +316,129 @@ def asof_join(
                     pass
         return out[out_cols]
 
-    if 0 < total <= _LOCAL_ASOF_ROWS:
-        import ray.data as _rd
+    return _matched_two_sided(
+        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total
+    )
 
-        out = _match_frames(left.to_pandas(), right.to_pandas())
-        return _rd.from_pandas(out)
 
-    def tag(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.reindex(columns=all_cols)
-            batch["__side"] = side
-            batch["__bucket"] = (
-                _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)
-            ).astype(np.int32)
-            return batch
+def range_match(
+    lkey: np.ndarray,
+    lts: np.ndarray,
+    rkey: np.ndarray,
+    rts: np.ndarray,
+    before,
+    after,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pair indices ``(li, ri)`` for every (left, right) pair with equal key
+    and ``rts in [lts - before, lts + after]`` (inclusive both ends).
 
-        return fn
+    Fully vectorized, no structured dtypes: keys are dense-ranked over both
+    sides, right timestamps dense-ranked over their unique values, and each
+    right row gets the composite ``group * NT + ts_rank`` (int64; both factors
+    are bounded by the batch's row count, so no overflow at any realistic
+    bucket size). Each left row's window becomes two rank bounds via
+    searchsorted on the unique-ts array — ``t >= a  ⟺  rank(t) >=
+    searchsorted(uts, a, 'left')`` and ``t <= b ⟺ rank(t) <
+    searchsorted(uts, b, 'right')`` — so two global searchsorteds on the
+    sorted composite give each left row's contiguous match run. Pair emission
+    is the O(output) grouped-arange expansion. Total cost
+    O((nl+nr) log(nl+nr) + output)."""
+    nl, nr = len(lkey), len(rkey)
+    none = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not nl or not nr:
+        return none
+    _, inv = np.unique(np.concatenate([lkey, rkey]), return_inverse=True)
+    lg, rg = inv[:nl].astype(np.int64), inv[nl:].astype(np.int64)
+    uts = np.unique(rts)
+    nt = np.int64(len(uts) + 1)
+    comp_r = rg * nt + np.searchsorted(uts, rts)
+    order = np.argsort(comp_r, kind="stable")
+    comp_s = comp_r[order]
+    ra = np.searchsorted(uts, lts - before, "left")
+    rb = np.searchsorted(uts, lts + after, "right")
+    lo = np.searchsorted(comp_s, lg * nt + ra, "left")
+    hi = np.searchsorted(comp_s, lg * nt + rb, "left")
+    counts = hi - lo
+    total = int(counts.sum())
+    if not total:
+        return none
+    li = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    ri = order[np.repeat(lo, counts) + offs]
+    return li, ri
 
-    lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right.map_batches(tag("r"), batch_format="pandas")
-    both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+def range_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    before,
+    after,
+    right_cols: dict[str, str],
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Distributed range (band / interval) join — with :func:`asof_join` one
+    of the two canonical custom operators Ray Data lacks (SURVEY.md §2
+    extras). Each left row is paired with EVERY right row sharing its ``on``
+    key whose ``right_ts`` falls in ``[left_ts - before, left_ts + after]``,
+    both ends inclusive (SQL ``BETWEEN``). Inner semantics: left rows with an
+    empty window are dropped. ``before`` / ``after`` must be addable to the
+    ts columns (``np.timedelta64`` for datetimes, plain numbers for numeric
+    axes); pass 0 for a one-sided band.
+
+    Partitioning assumption (documented per the brief): co-location by key —
+    ``hash(on) % B`` bucketing, one union+groupby shuffle, vectorized
+    :func:`range_match` per bucket. Output size is sum over keys of
+    (left rows × right rows inside the band); size ``before``/``after`` so a
+    hot key's band stays bounded, and raise ``n_buckets`` to dilute skew.
+
+    ``right_cols`` maps right-side column -> output name (rename avoids
+    collisions; include the right ts column to emit the matched time).
+    Reference analog: the bounded historical re-scan window
+    (``processor.py:65-71``) — a per-channel id-band lookup recast as a join.
+    """
+    total, n_buckets = _sized_buckets(left, right, n_buckets)
+    lcols = list(left.schema().names)
+    rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
+    right = right.select_columns(rneeded)
+    rcols = list(right.schema().names)
+    ldtypes = _pandas_dtypes(left)
+    rdtypes = _pandas_dtypes(right)
+    out_cols = lcols + [right_cols[c] for c in right_cols]
+    out_dtypes = dict(ldtypes)
+    for c, name in right_cols.items():
+        out_dtypes[name] = rdtypes.get(c, np.dtype("O"))
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
+
+    def _match_frames(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
             return _empty()
-        l = g[g["__side"] == "l"][lcols].reset_index(drop=True)
-        r = g[g["__side"] == "r"][rcols].reset_index(drop=True)
-        return _match_frames(l, r)
+        li, ri = range_match(
+            l[on].to_numpy(), l[left_ts].to_numpy(),
+            r[on].to_numpy(), r[right_ts].to_numpy(), before, after,
+        )
+        if not len(li):
+            return _empty()
+        out = l.iloc[li].reset_index(drop=True)
+        rs = r.iloc[ri].reset_index(drop=True)
+        for c, name in right_cols.items():
+            out[name] = rs[c]
+        for c, dt in out_dtypes.items():  # restore dtypes the union promoted
+            if c in out.columns and out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out[out_cols]
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return _matched_two_sided(
+        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total
+    )
 
 
 def anti_join_keys(big: Dataset, keys: np.ndarray, on: str, anti: bool = True) -> Dataset:

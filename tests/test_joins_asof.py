@@ -78,7 +78,7 @@ def _run(left, right, **kw):
 def test_asof_join_distributed_matches_local(ray_session, monkeypatch):
     left, right = _mk_sides()
     local = _run(left, right)
-    monkeypatch.setattr(jn, "_LOCAL_ASOF_ROWS", 0)
+    monkeypatch.setattr(jn, "_LOCAL_MATCH_ROWS", 0)
     dist = _run(left, right, n_buckets=8)
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
     assert len(local) > 0
@@ -88,3 +88,73 @@ def test_asof_join_distributed_matches_local(ray_session, monkeypatch):
     row = local.iloc[0]
     cand = right[(right.k == row.k) & (right.t <= row.t)]
     assert len(cand) and cand.t.max() == row.rt
+
+
+# ---------------------------------------------------------------------------
+# range (band) join
+# ---------------------------------------------------------------------------
+
+
+def _brute_range(lkey, lts, rkey, rts, before, after):
+    pairs = set()
+    for i in range(len(lkey)):
+        for j in range(len(rkey)):
+            if rkey[j] == lkey[i] and lts[i] - before <= rts[j] <= lts[i] + after:
+                pairs.add((i, j))
+    return pairs
+
+
+def test_range_match_vs_brute_force():
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        nl, nr = rng.integers(0, 40, 2)
+        lkey = rng.integers(0, 6, nl)
+        rkey = rng.integers(0, 6, nr)
+        lts = rng.integers(0, 50, nl)
+        rts = rng.integers(0, 50, nr)
+        before, after = rng.integers(0, 12, 2)
+        li, ri = jn.range_match(lkey, lts, rkey, rts, before, after)
+        assert set(zip(li.tolist(), ri.tolist())) == _brute_range(
+            lkey, lts, rkey, rts, before, after
+        )
+
+
+def test_range_match_inclusive_endpoints():
+    # BETWEEN semantics: both window edges match
+    li, ri = jn.range_match(
+        np.array([1]), np.array([10]), np.array([1, 1, 1, 1]),
+        np.array([5, 7, 12, 13]), 5, 2,
+    )
+    assert set(zip(li.tolist(), ri.tolist())) == {(0, 0), (0, 1), (0, 2)}
+
+
+def _run_range(left, right, **kw):
+    out = jn.range_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        before=np.timedelta64(500, "us"),
+        after=np.timedelta64(0, "us"),
+        right_cols={"t": "rt", "rv": "rv"},
+        **kw,
+    ).to_pandas()
+    return out.sort_values(["k", "t", "lv", "rt", "rv"]).reset_index(drop=True)
+
+
+def test_range_join_distributed_matches_local(ray_session, monkeypatch):
+    left, right = _mk_sides(seed=5)
+    local = _run_range(left, right)
+    monkeypatch.setattr(jn, "_LOCAL_MATCH_ROWS", 0)
+    dist = _run_range(left, right, n_buckets=8)
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+    assert len(local) > 0
+    # band semantics on the real frames
+    assert ((local["rt"] <= local["t"]) & (local["rt"] >= local["t"] - np.timedelta64(500, "us"))).all()
+    # pair count for one left row matches a brute filter
+    row = local.iloc[0]
+    cand = right[(right.k == row.k) & (right.t <= row.t) & (right.t >= row.t - np.timedelta64(500, "us"))]
+    assert len(cand) == (
+        (local.k == row.k) & (local.t == row.t) & (local.lv == row.lv)
+    ).sum()
