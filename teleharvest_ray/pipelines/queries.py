@@ -37,6 +37,7 @@ from ..stages import multimodal as mm
 from ..stages import embed as emb
 from ..stages import similarity as sim
 from ..stages import text_analysis as ta
+from ..stages import windows as wd
 from .validate import read_violations, run_validation
 
 _SYNTH_ROOT = "/tmp/teleharvest_synth"
@@ -1527,4 +1528,50 @@ ORACLE_SQL["q_range_join"] = """
       ON p.user_id = v.user_id
      AND v.ts BETWEEN p.ts - INTERVAL 8 HOUR AND p.ts
     ORDER BY event_id, view_event_id
+"""
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running aggregates over the event stream — the
+    windowed-aggregate custom operator (stages/windows.py): ROW_NUMBER,
+    ROWS-frame running sum, and previous-event gap, PARTITION BY user_id
+    ORDER BY (ts, event_id). One hash-bucket shuffle, segmented Cython
+    kernels per bucket (never per-group Python). All output columns are
+    integers, so the oracle hash-compares bit-exactly; the reference analog
+    is the watermark loop's keyed ordered stream (processor.py:59-63)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+
+    def floors(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("fvalue", pc.cast(pc.floor(tbl["value"]), pa.int64()))
+
+    out = wd.window_over(
+        ds.map_batches(floors, batch_format="pyarrow"),
+        key="user_id",
+        order=["ts", "event_id"],
+        specs=[
+            ("row_number", None, "rn"),
+            ("running_sum", "fvalue", "run_fvalue"),
+            ("lag", "ts", "prev_ts"),
+        ],
+    ).to_pandas()
+    raw = out["ts"].to_numpy().astype("datetime64[us]").astype("int64") - out[
+        "prev_ts"
+    ].to_numpy().astype("datetime64[us]").astype("int64")
+    out["prev_gap_us"] = np.where(out["prev_ts"].isna(), -1, raw).astype("int64")
+    out = out.sort_values("event_id").reset_index(drop=True)
+    out["rn"] = out["rn"].astype("int64")
+    out["run_fvalue"] = out["run_fvalue"].astype("int64")
+    return out[["event_id", "user_id", "rn", "run_fvalue", "prev_gap_us"]]
+
+
+QUERIES["q_running_total"] = q_running_total
+ORACLE_SQL["q_running_total"] = """
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER w AS rn,
+           SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS run_fvalue,
+           COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w), -1) AS prev_gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY event_id
 """

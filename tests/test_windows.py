@@ -1,0 +1,87 @@
+"""Partitioned window functions: segmented kernels vs a per-group pandas
+brute force, distributed-path equivalence, and SQL NULL edge semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+import teleharvest_ray.stages.windows as w
+
+SPECS = [
+    ("row_number", None, "rn"),
+    ("running_sum", "v", "rsum"),
+    ("running_mean", "v", "rmean"),
+    ("running_min", "v", "rmin"),
+    ("running_max", "v", "rmax"),
+    ("lag", "v", "prev_v"),
+    ("lead", "v", "next_v"),
+]
+
+
+def _mk(n=500, keys=17, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n),
+            "o": rng.permutation(n),  # unique order column
+            "v": rng.normal(size=n).round(3),
+        }
+    )
+
+
+def _brute(df):
+    df = df.sort_values(["k", "o"], kind="stable").reset_index(drop=True)
+    g = df.groupby("k", sort=False)["v"]
+    df["rn"] = g.cumcount() + 1
+    df["rsum"] = g.apply(lambda s: s.cumsum()).reset_index(drop=True)
+    df["rmean"] = g.apply(lambda s: s.expanding().mean()).reset_index(drop=True)
+    df["rmin"] = g.apply(lambda s: s.cummin()).reset_index(drop=True)
+    df["rmax"] = g.apply(lambda s: s.cummax()).reset_index(drop=True)
+    df["prev_v"] = g.shift(1)
+    df["next_v"] = g.shift(-1)
+    return df
+
+
+def test_segmented_windows_vs_brute():
+    df = _mk()
+    got = w.segmented_windows(df.copy(), "k", ["o"], SPECS)
+    exp = _brute(df.copy())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_segmented_windows_single_row_groups():
+    df = pd.DataFrame({"k": [1, 2, 3], "o": [0, 1, 2], "v": [5.0, 6.0, 7.0]})
+    got = w.segmented_windows(df, "k", ["o"], SPECS)
+    assert (got["rn"] == 1).all()
+    assert got["prev_v"].isna().all() and got["next_v"].isna().all()
+    assert (got["rsum"] == got["v"]).all()
+
+
+def test_segmented_windows_empty():
+    df = pd.DataFrame({"k": pd.Series(dtype="int64"), "o": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")})
+    got = w.segmented_windows(df, "k", ["o"], SPECS)
+    assert len(got) == 0 and "rsum" in got.columns
+
+
+def test_unknown_fn_raises():
+    with pytest.raises(ValueError):
+        w.segmented_windows(_mk(20), "k", ["o"], [("median", "v", "x")])
+    with pytest.raises(ValueError):
+        w.segmented_windows(_mk(20), "k", ["o"], [("lag", None, "x")])
+
+
+def _run(df, **kw):
+    out = w.window_over(rd.from_pandas(df), "k", ["o"], SPECS, **kw).to_pandas()
+    return out.sort_values(["k", "o"]).reset_index(drop=True)
+
+
+def test_window_over_distributed_matches_local(ray_session, monkeypatch):
+    df = _mk(800, keys=40, seed=4)
+    local = _run(df)
+    monkeypatch.setattr(w, "_LOCAL_WINDOW_ROWS", 0)
+    dist = _run(df, n_buckets=8)
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+    assert len(local) == len(df)
