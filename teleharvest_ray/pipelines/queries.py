@@ -564,11 +564,14 @@ def q_join_orders_customer(sf_dir: str) -> pd.DataFrame:
 
 
 def q_orphan_customers(sf_dir: str) -> pd.DataFrame:
-    """Customers with no orders: anti-join against a broadcast key set."""
-    orders = pq.read_table(_p(sf_dir, "orders"), columns=["o_custkey"])
-    keys = np.unique(orders["o_custkey"].to_numpy())
+    """Customers with no orders: size-dispatched anti-join — distributed
+    distinct + broadcast under the key budget, bucketed one-shuffle above it
+    (jn.anti_join); the raw fact-table key column never lands on the driver."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
     ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    out = jn.anti_join_keys(ds, keys, on="c_custkey", anti=True).to_pandas()
+    out = jn.anti_join(ds, orders, on="c_custkey", anti=True, n_buckets=32).to_pandas()
     if not len(out):
         return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
     return out.sort_values("c_custkey").reset_index(drop=True)

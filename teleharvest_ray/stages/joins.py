@@ -455,3 +455,90 @@ def anti_join_keys(big: Dataset, keys: np.ndarray, on: str, anti: bool = True) -
         return tbl.filter(pa.array(keep))
 
     return big.map_batches(per_batch, batch_format="pyarrow")
+
+
+def distinct_keys(ds: Dataset, on: str) -> np.ndarray:
+    """Distinct values of one column, pre-deduplicated distributed: each
+    batch emits ``np.unique`` of its own keys, so the driver receives the
+    union of per-batch DISTINCT sets (distinct-sized transfer), never the raw
+    row-sized column. Nulls are dropped (non-members, matching
+    :func:`member_mask`)."""
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        vals = tbl[on].to_numpy(zero_copy_only=False)
+        if vals.dtype == object or vals.dtype.kind == "f":
+            vals = vals[pd.notna(vals)]
+        return pa.table({on: np.unique(vals)})
+
+    parts = ds.select_columns([on]).map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return np.unique(parts[on].to_numpy())
+
+
+#: above this many right-side rows the anti/semi join switches from a
+#: broadcast distinct-key set to the bucketed one-shuffle path — 5M int64
+#: keys ≈ 40 MB broadcast, the comfortable ceiling for per-task ray.get
+_BROADCAST_KEY_ROWS = 5_000_000
+
+
+def anti_join(
+    big: Dataset, right: Dataset, on: str, anti: bool = True, n_buckets: int | None = None
+) -> Dataset:
+    """Size-dispatched anti (or semi) join of ``big`` against the keys in
+    ``right[on]``. Under :data:`_BROADCAST_KEY_ROWS` right-side rows the key
+    set is deduplicated distributed (:func:`distinct_keys`) and broadcast
+    once; above it, the same ONE-shuffle union+groupby(bucket) shape as
+    :func:`bucketed_hash_join` — neither path ever collects a row-sized
+    column on the driver. The scale path for referential checks whose
+    right side is itself fact-sized (10^9+ keys)."""
+    try:
+        nr = right.count()
+    except Exception:
+        nr = 0
+    if 0 < nr <= _BROADCAST_KEY_ROWS:
+        return anti_join_keys(big, distinct_keys(right, on), on, anti=anti)
+
+    total, n_buckets = _sized_buckets(big, right, n_buckets)
+    bcols = list(big.schema().names)
+    bdtypes = _pandas_dtypes(big)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=bdtypes.get(c, "O")) for c in bcols})
+
+    right = right.select_columns([on])
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.reindex(columns=bcols)
+            batch["__side"] = side
+            batch["__bucket"] = (
+                _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)
+            ).astype(np.int32)
+            return batch
+
+        return fn
+
+    bt = big.map_batches(tag("b"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty()
+        is_b = (g["__side"] == "b").to_numpy()
+        kraw = g.loc[~is_b, on].to_numpy()
+        if kraw.dtype == object or kraw.dtype.kind == "f":
+            kraw = kraw[pd.notna(kraw)]
+        keys = np.unique(kraw)
+        rows = g[is_b][bcols]
+        member = member_mask(keys, rows[on].to_numpy())
+        out = rows[~member if anti else member].reset_index(drop=True)
+        if not len(out):
+            return _empty()
+        for c, dt in bdtypes.items():  # restore dtypes the union promoted
+            if out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out
+
+    return bt.union(rt).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

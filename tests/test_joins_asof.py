@@ -158,3 +158,66 @@ def test_range_join_distributed_matches_local(ray_session, monkeypatch):
     assert len(cand) == (
         (local.k == row.k) & (local.t == row.t) & (local.lv == row.lv)
     ).sum()
+
+
+# ---------------------------------------------------------------------------
+# size-dispatched anti/semi join
+# ---------------------------------------------------------------------------
+
+
+def _mk_anti(seed=9, n_big=500, n_right=300):
+    rng = np.random.default_rng(seed)
+    big = pd.DataFrame(
+        {
+            "id": rng.integers(0, 200, n_big),
+            "v": rng.normal(size=n_big),
+            "name": [f"n{i}" for i in rng.integers(0, 50, n_big)],
+        }
+    )
+    right = pd.DataFrame({"id": rng.integers(100, 300, n_right)})
+    return big, right
+
+
+def _run_anti(big, right, anti=True, **kw):
+    out = jn.anti_join(
+        rd.from_pandas(big), rd.from_pandas(right), on="id", anti=anti, **kw
+    ).to_pandas()
+    return out.sort_values(["id", "v"]).reset_index(drop=True)
+
+
+def test_anti_join_broadcast_path_matches_pandas(ray_session):
+    big, right = _mk_anti()
+    got = _run_anti(big, right)
+    want = (
+        big[~big.id.isin(right.id)].sort_values(["id", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 0
+
+
+def test_anti_join_bucketed_path_matches_broadcast(ray_session, monkeypatch):
+    big, right = _mk_anti(seed=13)
+    bc = _run_anti(big, right)
+    monkeypatch.setattr(jn, "_BROADCAST_KEY_ROWS", 0)
+    sh = _run_anti(big, right, n_buckets=8)
+    pd.testing.assert_frame_equal(bc, sh, check_dtype=False)
+    # dtype restoration through the union+groupby path
+    assert sh["id"].dtype == big["id"].dtype
+    assert sh["v"].dtype == big["v"].dtype
+
+
+def test_semi_join_both_paths(ray_session, monkeypatch):
+    big, right = _mk_anti(seed=21)
+    want = big[big.id.isin(right.id)].sort_values(["id", "v"]).reset_index(drop=True)
+    bc = _run_anti(big, right, anti=False)
+    pd.testing.assert_frame_equal(bc, want, check_dtype=False)
+    monkeypatch.setattr(jn, "_BROADCAST_KEY_ROWS", 0)
+    sh = _run_anti(big, right, anti=False, n_buckets=8)
+    pd.testing.assert_frame_equal(sh, want, check_dtype=False)
+    assert len(want) > 0
+
+
+def test_distinct_keys_drops_nulls(ray_session):
+    df = pd.DataFrame({"k": [3.0, 1.0, np.nan, 3.0, 2.0]})
+    got = jn.distinct_keys(rd.from_pandas(df), "k")
+    assert got.tolist() == [1.0, 2.0, 3.0]
