@@ -1578,3 +1578,79 @@ ORACLE_SQL["q_running_total"] = """
                  ROWS UNBOUNDED PRECEDING)
     ORDER BY event_id
 """
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination over documents: the held-out "eval" set is
+    doc_id % 13 == 0; every other doc sharing >=1 word 4-gram with it is
+    flagged with its distinct-shared-gram count (stages/decontam.py — the
+    train/test-overlap scrub; broadcast gram set under 16M hashes, bucketed
+    semi-join above)."""
+    from ..stages import decontam as dc
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(want_bench: bool):
+        def fn(tbl: pa.Table) -> pa.Table:
+            # integer-divide trick: pyarrow has no modulo kernel
+            m = pc.equal(pc.subtract(tbl["doc_id"], pc.multiply(pc.divide(tbl["doc_id"], 13), 13)), 0)
+            return tbl.filter(m if want_bench else pc.invert(m))
+
+        return fn
+
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    out = dc.decontaminate(corpus, bench, n=4).to_pandas()
+    if not len(out):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_shared": pd.Series(dtype="int64")}
+        )
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_decontaminate"] = q_decontaminate
+ORACLE_SQL["q_decontaminate"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0)
+    SELECT g.doc_id AS doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 13 <> 0
+    GROUP BY g.doc_id ORDER BY doc_id
+"""
+
+
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality gates per document: dup-word fraction
+    and top-bigram fraction with corpus-centered keep thresholds
+    (stages/text_analysis.repetition_stats — one explode per batch, IEEE
+    double parity with the SQL oracle)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(ta.repetition_stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_repetition_filter"] = q_repetition_filter
+ORACLE_SQL["q_repetition_filter"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+    dw AS (SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT word) AS n_dist
+           FROM tok GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS g
+           FROM d),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bgc GROUP BY doc_id)
+    SELECT dw.doc_id AS doc_id,
+           dw.n_tok AS n_words,
+           1 - dw.n_dist::DOUBLE / dw.n_tok AS dup_word_frac,
+           top.mx::DOUBLE / top.tot AS top_bigram_frac,
+           CAST(CASE WHEN 1 - dw.n_dist::DOUBLE / dw.n_tok <= 0.625
+                      AND top.mx::DOUBLE / top.tot <= 0.05
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM dw JOIN top USING (doc_id)
+    ORDER BY doc_id
+"""

@@ -91,7 +91,9 @@ def _shingle_hashes(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.nda
         shifted = np.roll(wh, -k)
         same_doc = (np.roll(rows, -k) == rows) & (pos + k < len(wh))
         with np.errstate(over="ignore"):
-            sh = splitmix64(sh ^ (shifted + _U64(k)))
+            # pre-mix the accumulator: sh ^ (sh + k) is low-entropy for
+            # repeated words ("x x" shingles would collide to a constant)
+            sh = splitmix64(splitmix64(sh ^ _U64(k)) ^ shifted)
         valid &= same_doc
     return rows[valid], sh[valid]
 

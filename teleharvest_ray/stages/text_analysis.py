@@ -132,3 +132,81 @@ def redact(tbl: pa.Table, text_col: str = "text", token: str = "<PII>") -> pa.Ta
     for pat in PII_PATTERNS.values():
         text = pc.replace_substring_regex(text, pattern=pat, replacement=token)
     return tbl.set_column(tbl.column_names.index(text_col), text_col, text)
+
+
+#: Gopher-style repetition gates (Rae et al. 2021 table A1 shape, thresholds
+#: re-centered on this corpus's distribution: dup-word median 0.54/p90 0.68,
+#: top-bigram median 0.033/p90 0.069)
+REPETITION_MAX_DUP_WORD_FRAC = 0.625
+REPETITION_MAX_TOP_BIGRAM_FRAC = 0.05
+
+
+def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc repetition quality stats, fully vectorized (one explode):
+
+    - ``n_words``: tokens when split on single spaces (SQL ``string_split``)
+    - ``dup_word_frac``: 1 - distinct/total words — catches word-loop spam
+    - ``top_bigram_frac``: share of all bigrams taken by the most frequent
+      one — catches phrase-loop spam (Gopher's top-2-gram filter)
+    - ``keep``: 1 iff both fractions are under the corpus gates
+
+    The float expressions (``1 - d/t``, ``mx/tot``) are single IEEE double
+    divisions in both numpy and the SQL oracle, so values match bit-exactly.
+    """
+    texts = tbl[text_col].to_numpy(zero_copy_only=False)
+    nd = len(texts)
+    s = pd.Series(np.asarray(texts, dtype=object))
+    ex = s.str.split(" ").explode()
+    ex = ex[ex.notna()]
+    rows = ex.index.to_numpy(np.int64)
+    wh = hash_strings(ex.to_numpy(object)) if len(ex) else np.empty(0, np.uint64)
+    n_words = np.bincount(rows, minlength=nd).astype(np.int64)
+
+    # distinct words per doc: sort (row, hash), count run starts per row
+    order = np.lexsort((wh, rows))
+    r2, h2 = rows[order], wh[order]
+    new = np.r_[True, (r2[1:] != r2[:-1]) | (h2[1:] != h2[:-1])] if len(r2) else np.empty(0, bool)
+    n_dist = np.bincount(r2[new] if len(r2) else r2, minlength=nd).astype(np.int64)
+
+    # bigrams: chain adjacent word hashes within each doc
+    if len(rows):
+        adj = np.roll(rows, -1) == rows
+        adj[-1] = False
+        with np.errstate(over="ignore"):
+            # pre-mix the left word so "x x" bigrams don't all collide
+            # (wh ^ (wh + 1) is a constant whenever wh is even)
+            bg = splitmix64(splitmix64(wh) ^ np.roll(wh, -1))
+        bgr, bgh = rows[adj], bg[adj]
+    else:
+        bgr, bgh = rows, wh
+    n_bg = np.bincount(bgr, minlength=nd).astype(np.int64)
+    # top bigram count per doc: run lengths of sorted (row, hash), then a
+    # segment-max over each row's runs
+    mx = np.zeros(nd, np.int64)
+    if len(bgr):
+        o2 = np.lexsort((bgh, bgr))
+        br, bh = bgr[o2], bgh[o2]
+        starts = np.flatnonzero(np.r_[True, (br[1:] != br[:-1]) | (bh[1:] != bh[:-1])])
+        runlen = np.diff(np.r_[starts, len(br)])
+        srows = br[starts]
+        rstart = np.flatnonzero(np.r_[True, srows[1:] != srows[:-1]])
+        mx[srows[rstart]] = np.maximum.reduceat(runlen, rstart)
+
+    wpos = n_words > 0
+    dup = np.zeros(nd, np.float64)
+    dup[wpos] = 1.0 - n_dist[wpos] / n_words[wpos]
+    bpos = n_bg > 0
+    top = np.zeros(nd, np.float64)
+    top[bpos] = mx[bpos] / n_bg[bpos]
+    keep = (
+        (dup <= REPETITION_MAX_DUP_WORD_FRAC) & (top <= REPETITION_MAX_TOP_BIGRAM_FRAC)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "n_words": n_words,
+            "dup_word_frac": dup,
+            "top_bigram_frac": top,
+            "keep": keep,
+        }
+    )
