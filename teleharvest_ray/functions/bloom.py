@@ -60,3 +60,40 @@ class BloomFilter:
         if not len(arr):
             return np.zeros(0, dtype=bool)
         return self.contains_hashes(hash_strings(arr))
+
+
+class ShardedBloom:
+    """Bloom filter split into hash-routed shards — the build shape for
+    10^9+-id indexes. A monolithic distributed build must size EVERY
+    per-block partial to the total id count (OR-merge requires identical
+    params), so worker memory and driver ingress scale as
+    n_blocks × full-filter-size. Sharding routes each id to
+    ``hash % n_shards`` first (one 8-byte/row shuffle), each shard's
+    filter is sized for ~n/S items (megabytes, not gigabytes, per task),
+    and the driver receives each shard's bits exactly once — total
+    transfer = one filter, independent of block count.
+
+    Probe cost is identical (same k bit tests, inside the routed shard);
+    the FPP math is unchanged because ids distribute uniformly over shards
+    by the same 64-bit hash used for membership."""
+
+    __slots__ = ("n_shards", "shards")
+
+    def __init__(self, shards: list):
+        self.n_shards = len(shards)
+        self.shards = shards
+
+    def contains_hashes(self, base: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(base), dtype=bool)
+        sid = (base % _U64(self.n_shards)).astype(np.int64)
+        for s, bf in enumerate(self.shards):
+            m = sid == s
+            if m.any():
+                out[m] = bf.contains_hashes(base[m])
+        return out
+
+    def contains_strings(self, values) -> np.ndarray:
+        arr = np.asarray(values, dtype=object)
+        if not len(arr):
+            return np.zeros(0, dtype=bool)
+        return self.contains_hashes(hash_strings(arr))

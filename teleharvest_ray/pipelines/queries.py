@@ -318,26 +318,23 @@ def q_pii_scan(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def scan(tbl: pa.Table) -> pa.Table:
-        return ta.pii_scan(tbl)
+        # emit the 0/1 affected-doc flags alongside the counts so ONE
+        # aggregate consumes everything — a second consumer of an
+        # unmaterialized per-doc stream would re-run all four regex passes
+        out = ta.pii_scan(tbl)
+        return out.append_column(
+            "e", pc.cast(pc.greater(out["n_email"], 0), pa.int64())
+        ).append_column("m", pc.cast(pc.greater(out["n_marker"], 0), pa.int64()))
 
-    per_doc = ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
-    agg = per_doc.aggregate(
+    agg = ds.map_batches(scan, batch_format="pyarrow", batch_size=None).aggregate(
         Count(alias_name="n_docs"),
         Sum("n_email", alias_name="total_emails"),
         Sum("n_url", alias_name="total_urls"),
         Sum("n_intl_phone", alias_name="total_phones"),
         Sum("n_marker", alias_name="total_markers"),
+        Sum("e", alias_name="docs_with_email"),
+        Sum("m", alias_name="docs_with_marker"),
     )
-    flags = per_doc.map_batches(
-        lambda t: pa.table(
-            {
-                "e": pc.cast(pc.greater(t["n_email"], 0), pa.int64()),
-                "m": pc.cast(pc.greater(t["n_marker"], 0), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).aggregate(Sum("e", alias_name="docs_with_email"), Sum("m", alias_name="docs_with_marker"))
     return pd.DataFrame(
         [
             {
@@ -346,8 +343,8 @@ def q_pii_scan(sf_dir: str) -> pd.DataFrame:
                 "total_urls": agg["total_urls"],
                 "total_phones": agg["total_phones"],
                 "total_markers": agg["total_markers"],
-                "docs_with_email": flags["docs_with_email"],
-                "docs_with_marker": flags["docs_with_marker"],
+                "docs_with_email": agg["docs_with_email"],
+                "docs_with_marker": agg["docs_with_marker"],
             }
         ]
     )
@@ -1644,13 +1641,17 @@ ORACLE_SQL["q_repetition_filter"] = """
            FROM d),
     bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
     top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bgc GROUP BY doc_id)
-    SELECT dw.doc_id AS doc_id,
-           dw.n_tok AS n_words,
-           1 - dw.n_dist::DOUBLE / dw.n_tok AS dup_word_frac,
-           top.mx::DOUBLE / top.tot AS top_bigram_frac,
-           CAST(CASE WHEN 1 - dw.n_dist::DOUBLE / dw.n_tok <= 0.625
-                      AND top.mx::DOUBLE / top.tot <= 0.05
+    -- LEFT JOINs from d: degenerate docs (null text -> no dw row; <2 words
+    -- -> no top row) still emit a row with 0.0 fractions and keep=0, exactly
+    -- as the Ray kernel does
+    SELECT d.doc_id AS doc_id,
+           COALESCE(dw.n_tok, 0) AS n_words,
+           COALESCE(1 - dw.n_dist::DOUBLE / dw.n_tok, 0.0) AS dup_word_frac,
+           COALESCE(top.mx::DOUBLE / top.tot, 0.0) AS top_bigram_frac,
+           CAST(CASE WHEN COALESCE(1 - dw.n_dist::DOUBLE / dw.n_tok, 0.0) <= 0.625
+                      AND COALESCE(top.mx::DOUBLE / top.tot, 0.0) <= 0.05
+                      AND COALESCE(dw.n_tok, 0) >= 2
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
-    FROM dw JOIN top USING (doc_id)
+    FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN top USING (doc_id)
     ORDER BY doc_id
 """

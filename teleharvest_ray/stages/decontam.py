@@ -22,16 +22,13 @@ Ray path see the same token stream, and dedups (doc, gram) pairs so
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
 from ..functions.arrays import member_mask
-from ..functions.hashing import hash_strings, splitmix64
-
-_U64 = np.uint64
+from ..functions.ngrams import chain_gram_hashes, explode_tokens
 
 #: broadcast ceiling for the benchmark gram-hash set — 16M uint64 = 128 MB,
 #: comfortably under the per-task ray.get budget; real benchmark suites are
@@ -43,29 +40,12 @@ def gram_hash_pairs(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc-DISTINCT (doc_row, gram_hash) pairs for word ``n``-grams.
 
     Tokens are split on single spaces (matching SQL ``string_split``); the
-    gram hash chains the ``n`` word hashes with a splitmix64 mix per step,
-    so equal word sequences collide with probability ~2**-64. One explode,
-    no per-row Python.
+    gram hash is the shared rolling-hash kernel (functions/ngrams.py), so
+    equal word sequences collide with probability ~2**-64. One explode, no
+    per-row Python.
     """
-    s = pd.Series(np.asarray(texts, dtype=object))
-    ex = s.str.split(" ").explode()
-    ex = ex[ex.notna()]
-    if not len(ex):
-        return np.empty(0, np.int64), np.empty(0, _U64)
-    rows = ex.index.to_numpy(np.int64)
-    wh = hash_strings(ex.to_numpy(object))
-    gh = wh.copy()
-    valid = np.ones(len(wh), dtype=bool)
-    pos = np.arange(len(wh))
-    for k in range(1, n):
-        shifted = np.roll(wh, -k)
-        same_doc = (np.roll(rows, -k) == rows) & (pos + k < len(wh))
-        with np.errstate(over="ignore"):
-            # pre-mix the accumulator so equal-word pairs don't cancel:
-            # gh ^ (gh + c) is low-entropy when both sides correlate
-            gh = splitmix64(splitmix64(gh ^ _U64(k)) ^ shifted)
-        valid &= same_doc
-    rows, gh = rows[valid], gh[valid]
+    rows, wh = explode_tokens(texts, sep=" ")
+    rows, gh = chain_gram_hashes(rows, wh, n)
     if not len(rows):
         return rows, gh
     # a doc lives entirely inside one batch row, so per-batch dedup of

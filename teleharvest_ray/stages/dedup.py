@@ -34,6 +34,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.arrays import list_to_mat
 from ..functions.hashing import hash_strings, splitmix64
+from ..functions.ngrams import chain_gram_hashes, explode_tokens
 
 _U64 = np.uint64
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -73,29 +74,11 @@ def exact_text_dedup(ds: Dataset, text_col: str, id_col: str) -> Dataset:
 
 
 def _shingle_hashes(texts: np.ndarray, shingle: int) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_row_index, shingle_hash) pairs for word n-gram shingles, computed
-    with one explode — vectorized across the whole batch."""
-    s = pd.Series(texts)
-    words = s.str.split()
-    ex = words.explode()
-    ex = ex[ex.notna()]
-    if not len(ex):
-        return np.empty(0, np.int64), np.empty(0, _U64)
-    rows = ex.index.to_numpy(np.int64)
-    wh = hash_strings(ex.to_numpy(object))
-    # rolling combine of `shingle` consecutive word hashes within each doc
-    sh = wh.copy()
-    valid = np.ones(len(wh), dtype=bool)
-    pos = np.arange(len(wh))
-    for k in range(1, shingle):
-        shifted = np.roll(wh, -k)
-        same_doc = (np.roll(rows, -k) == rows) & (pos + k < len(wh))
-        with np.errstate(over="ignore"):
-            # pre-mix the accumulator: sh ^ (sh + k) is low-entropy for
-            # repeated words ("x x" shingles would collide to a constant)
-            sh = splitmix64(splitmix64(sh ^ _U64(k)) ^ shifted)
-        valid &= same_doc
-    return rows[valid], sh[valid]
+    """(doc_row_index, shingle_hash) pairs for word n-gram shingles —
+    whitespace-run tokenization, shared rolling-hash kernel
+    (functions/ngrams.py)."""
+    rows, wh = explode_tokens(texts)
+    return chain_gram_hashes(rows, wh, shingle)
 
 
 def minhash_signatures(

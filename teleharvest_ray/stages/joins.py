@@ -63,6 +63,27 @@ def _pandas_dtypes(ds: Dataset) -> dict:
 _ROWS_PER_BUCKET = 250_000
 
 
+def _sentinel_fill(batch: pd.DataFrame, all_cols: list, dtypes: dict) -> pd.DataFrame:
+    """Reindex ``batch`` to the union column set, filling the OTHER side's
+    columns with dtype-true zeros rather than NaN. The filled cells are
+    discarded after the per-bucket split (each side re-selects only its own
+    columns), but a NaN fill would float64-promote int64 columns through the
+    shuffle's concat and silently corrupt values above 2**53 when the astype
+    restore rounds them back (doc/snowflake ids routinely exceed 2**53)."""
+    n = len(batch)
+    data = {}
+    for c in all_cols:
+        if c in batch.columns:
+            data[c] = batch[c]
+        else:
+            dt = dtypes.get(c, np.dtype("O"))
+            if dt == np.dtype("O"):
+                data[c] = pd.Series([None] * n, dtype=object, index=batch.index)
+            else:
+                data[c] = pd.Series(np.zeros(n, dtype=dt), index=batch.index)
+    return pd.DataFrame(data)
+
+
 def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
@@ -72,23 +93,22 @@ def bucketed_hash_join(
 ) -> Dataset:
     """Partitioned hash join via union + one groupby(bucket) shuffle.
 
-    The two sides have different schemas, so each batch is reindexed to the
-    union column set (missing side's columns = NA) before the union — Ray
-    blocks must share one schema across the unioned stream. The reindex
-    promotes the other side's int columns to float (NaN fill); ``join_bucket``
-    restores each side's original dtypes after splitting, so join output
-    dtypes match the inputs (a left row's own columns are never NA-filled).
+    The two sides have different schemas, so each batch is filled to the
+    union column set before the union — Ray blocks must share one schema
+    across the unioned stream. The fill is :func:`_sentinel_fill` (dtype-true
+    zeros, never NaN), so int64 columns keep exact values through the
+    shuffle; ``join_bucket`` still restores each side's original dtypes after
+    splitting as a guard against cross-side same-name dtype drift.
 
     ``n_buckets=None`` derives the bucket count from the input sizes
     (~250k rows/bucket, capped at 4096) — skewed keys dilute as buckets
-    grow. NB: derivation calls ``count()``, which is metadata-cheap for
-    parquet reads but executes any pending transforms; pass an explicit
-    ``n_buckets`` when the inputs are expensive pipelines."""
+    grow. Derivation materializes both sides first so an expensive upstream
+    pipeline executes ONCE (count() would re-execute it, and the tag stage
+    would execute it a second time); the join consumes every input block
+    anyway, so this adds residency, not work."""
     if n_buckets is None:
-        try:
-            total = left.count() + right.count()
-        except Exception:
-            total = 0
+        left, right = left.materialize(), right.materialize()
+        total = left.count() + right.count()
         n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -118,9 +138,11 @@ def bucketed_hash_join(
             if dt is not None and (np.issubdtype(dt, np.integer) or dt == np.dtype(bool)):
                 out_dtypes[c] = np.dtype("float64")
 
+    fill_dtypes = {**rdtypes, **ldtypes}
+
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.reindex(columns=all_cols)
+            batch = _sentinel_fill(batch, all_cols, fill_dtypes)
             batch["__side"] = side
             batch["__bucket"] = (_key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)).astype(np.int32)
             return batch
@@ -191,17 +213,24 @@ def asof_match(
 _LOCAL_MATCH_ROWS = 2_000_000
 
 
-def _sized_buckets(left: Dataset, right: Dataset, n_buckets: int | None) -> tuple[int, int]:
-    """(total rows, bucket count) for a two-sided keyed join; count() is
-    metadata-cheap for parquet reads but executes pending transforms — pass an
-    explicit n_buckets when the inputs are expensive pipelines."""
-    try:
-        total = left.count() + right.count()
-    except Exception:
-        total = 0
-    if n_buckets is None:
-        n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
-    return total, n_buckets
+def _sized_buckets(
+    left: Dataset, right: Dataset, n_buckets: int | None
+) -> tuple[Dataset, Dataset, int, int]:
+    """(left, right, total rows, bucket count) for a two-sided keyed join.
+
+    When deriving the bucket count, both sides are materialized FIRST so an
+    expensive upstream pipeline executes once — the count() probe and the
+    downstream tag/to_pandas then reuse the same blocks (the join consumes
+    every input block regardless, so materializing adds residency, not
+    work). An explicit ``n_buckets`` skips the count entirely (total=0 →
+    the caller's local dispatch is bypassed and the distributed path runs).
+    """
+    if n_buckets is not None:
+        return left, right, 0, n_buckets
+    left, right = left.materialize(), right.materialize()
+    total = left.count() + right.count()
+    n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
+    return left, right, total, n_buckets
 
 
 def _matched_two_sided(
@@ -214,11 +243,14 @@ def _matched_two_sided(
     empty,
     n_buckets: int,
     total: int,
+    fill_dtypes: dict,
 ):
     """Shared scaffold for the as-of and range joins: driver-local dispatch
     under :data:`_LOCAL_MATCH_ROWS`, else tag both sides with ``hash(on) % B``,
     union, ONE groupby(bucket) shuffle, and run ``match_frames(l, r)`` per
-    bucket (the same one-shuffle shape as :func:`bucketed_hash_join`)."""
+    bucket (the same one-shuffle shape as :func:`bucketed_hash_join`). The
+    union-schema fill is :func:`_sentinel_fill` so int64 keys/payloads keep
+    exact values (no NaN→float64 promotion) through the shuffle."""
     if 0 < total <= _LOCAL_MATCH_ROWS:
         import ray.data as _rd
 
@@ -228,7 +260,7 @@ def _matched_two_sided(
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.reindex(columns=all_cols)
+            batch = _sentinel_fill(batch, all_cols, fill_dtypes)
             batch["__side"] = side
             batch["__bucket"] = (
                 _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)
@@ -280,10 +312,10 @@ def asof_join(
     unique on ``(on, right_ts)`` — among exact duplicates the selected row is
     arbitrary (and here depends on block order, which the shuffle permutes).
     """
-    total, n_buckets = _sized_buckets(left, right, n_buckets)
-    lcols = list(left.schema().names)
     rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
     right = right.select_columns(rneeded)
+    left, right, total, n_buckets = _sized_buckets(left, right, n_buckets)
+    lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     ldtypes = _pandas_dtypes(left)
     rdtypes = _pandas_dtypes(right)
@@ -317,7 +349,8 @@ def asof_join(
         return out[out_cols]
 
     return _matched_two_sided(
-        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total
+        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total,
+        {**rdtypes, **ldtypes},
     )
 
 
@@ -400,10 +433,10 @@ def range_join(
     Reference analog: the bounded historical re-scan window
     (``processor.py:65-71``) — a per-channel id-band lookup recast as a join.
     """
-    total, n_buckets = _sized_buckets(left, right, n_buckets)
-    lcols = list(left.schema().names)
     rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
     right = right.select_columns(rneeded)
+    left, right, total, n_buckets = _sized_buckets(left, right, n_buckets)
+    lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     ldtypes = _pandas_dtypes(left)
     rdtypes = _pandas_dtypes(right)
@@ -437,7 +470,8 @@ def range_join(
         return out[out_cols]
 
     return _matched_two_sided(
-        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total
+        left, right, on, lcols, rcols, _match_frames, _empty, n_buckets, total,
+        {**rdtypes, **ldtypes},
     )
 
 
@@ -490,25 +524,23 @@ def anti_join(
     :func:`bucketed_hash_join` — neither path ever collects a row-sized
     column on the driver. The scale path for referential checks whose
     right side is itself fact-sized (10^9+ keys)."""
-    try:
-        nr = right.count()
-    except Exception:
-        nr = 0
+    # the key column is all the right side contributes — prune it up front so
+    # the count/materialize below touch 8 B/row, not the full right schema
+    right = right.select_columns([on]).materialize()
+    nr = right.count()
     if 0 < nr <= _BROADCAST_KEY_ROWS:
         return anti_join_keys(big, distinct_keys(right, on), on, anti=anti)
 
-    total, n_buckets = _sized_buckets(big, right, n_buckets)
+    big, right, _total, n_buckets = _sized_buckets(big, right, n_buckets)
     bcols = list(big.schema().names)
     bdtypes = _pandas_dtypes(big)
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=bdtypes.get(c, "O")) for c in bcols})
 
-    right = right.select_columns([on])
-
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.reindex(columns=bcols)
+            batch = _sentinel_fill(batch, bcols, bdtypes)
             batch["__side"] = side
             batch["__bucket"] = (
                 _key_hash(batch[on].to_numpy()) % np.uint64(n_buckets)

@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings, splitmix64
+from ..functions.ngrams import chain_gram_hashes, explode_tokens
 
 # tiny marker dictionaries (top function words); an n-gram model would slot
 # into the same actor without changing the pipeline shape
@@ -139,6 +140,9 @@ def redact(tbl: pa.Table, text_col: str = "text", token: str = "<PII>") -> pa.Ta
 #: top-bigram median 0.033/p90 0.069)
 REPETITION_MAX_DUP_WORD_FRAC = 0.625
 REPETITION_MAX_TOP_BIGRAM_FRAC = 0.05
+#: degenerate docs (null/empty text, single word) pass both fraction gates
+#: trivially (0.0/0.0) — gate them out instead of keeping exactly the junk
+REPETITION_MIN_WORDS = 2
 
 
 def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -148,18 +152,16 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_i
     - ``dup_word_frac``: 1 - distinct/total words — catches word-loop spam
     - ``top_bigram_frac``: share of all bigrams taken by the most frequent
       one — catches phrase-loop spam (Gopher's top-2-gram filter)
-    - ``keep``: 1 iff both fractions are under the corpus gates
+    - ``keep``: 1 iff both fractions are under the corpus gates AND the doc
+      has at least :data:`REPETITION_MIN_WORDS` words (null/empty/one-word
+      docs would otherwise pass trivially with 0.0 fractions)
 
     The float expressions (``1 - d/t``, ``mx/tot``) are single IEEE double
     divisions in both numpy and the SQL oracle, so values match bit-exactly.
     """
     texts = tbl[text_col].to_numpy(zero_copy_only=False)
     nd = len(texts)
-    s = pd.Series(np.asarray(texts, dtype=object))
-    ex = s.str.split(" ").explode()
-    ex = ex[ex.notna()]
-    rows = ex.index.to_numpy(np.int64)
-    wh = hash_strings(ex.to_numpy(object)) if len(ex) else np.empty(0, np.uint64)
+    rows, wh = explode_tokens(texts, sep=" ")  # shared kernel, SQL tokenization
     n_words = np.bincount(rows, minlength=nd).astype(np.int64)
 
     # distinct words per doc: sort (row, hash), count run starts per row
@@ -168,17 +170,8 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_i
     new = np.r_[True, (r2[1:] != r2[:-1]) | (h2[1:] != h2[:-1])] if len(r2) else np.empty(0, bool)
     n_dist = np.bincount(r2[new] if len(r2) else r2, minlength=nd).astype(np.int64)
 
-    # bigrams: chain adjacent word hashes within each doc
-    if len(rows):
-        adj = np.roll(rows, -1) == rows
-        adj[-1] = False
-        with np.errstate(over="ignore"):
-            # pre-mix the left word so "x x" bigrams don't all collide
-            # (wh ^ (wh + 1) is a constant whenever wh is even)
-            bg = splitmix64(splitmix64(wh) ^ np.roll(wh, -1))
-        bgr, bgh = rows[adj], bg[adj]
-    else:
-        bgr, bgh = rows, wh
+    # bigrams: shared rolling-hash chain of adjacent word hashes per doc
+    bgr, bgh = chain_gram_hashes(rows, wh, 2)
     n_bg = np.bincount(bgr, minlength=nd).astype(np.int64)
     # top bigram count per doc: run lengths of sorted (row, hash), then a
     # segment-max over each row's runs
@@ -199,7 +192,9 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_i
     top = np.zeros(nd, np.float64)
     top[bpos] = mx[bpos] / n_bg[bpos]
     keep = (
-        (dup <= REPETITION_MAX_DUP_WORD_FRAC) & (top <= REPETITION_MAX_TOP_BIGRAM_FRAC)
+        (dup <= REPETITION_MAX_DUP_WORD_FRAC)
+        & (top <= REPETITION_MAX_TOP_BIGRAM_FRAC)
+        & (n_words >= REPETITION_MIN_WORDS)
     ).astype(np.int64)
     return pa.table(
         {

@@ -71,9 +71,12 @@ def segmented_windows(
             )
         return df
     k = df[key].to_numpy()
+    kn = pd.isna(df[key]).to_numpy()
     new = np.empty(n, dtype=bool)
     new[0] = True
-    new[1:] = k[1:] != k[:-1]
+    # NULL keys form ONE partition (SQL PARTITION BY groups NULLs together);
+    # plain != would make every NaN row its own segment since NaN != NaN
+    new[1:] = (k[1:] != k[:-1]) & ~(kn[1:] & kn[:-1])
     gstart = np.flatnonzero(new)  # segment start positions
     seg = np.cumsum(new) - 1  # segment id per row
     start_of = gstart[seg]  # each row's segment start position
@@ -92,15 +95,26 @@ def segmented_windows(
             # the label array — per-segment exact (no global-prefix re-basing,
             # no reduceat, which is slow on this numpy build), no per-group
             # Python.
-            g = df.groupby(seg, sort=False)[src]
-            if fn == "running_sum":
-                df[name] = g.cumsum()
-            elif fn == "running_mean":
-                df[name] = g.cumsum() / (rn + 1)
-            elif fn == "running_min":
-                df[name] = g.cummin()
+            v = df[src]
+            if fn in ("running_sum", "running_mean"):
+                # SQL SUM/AVG OVER aggregate the NON-NULL prefix: a NULL row
+                # still emits the running value (pandas cumsum would emit NaN
+                # there), AVG divides by the non-null count (not the row
+                # rank), and the result is NULL only before the segment's
+                # first non-null value.
+                cs = v.fillna(0).groupby(seg, sort=False).cumsum()
+                cnt = v.notna().groupby(seg, sort=False).cumsum()
+                if fn == "running_sum":
+                    df[name] = cs.mask(cnt == 0)
+                else:
+                    df[name] = cs / cnt.mask(cnt == 0)
             else:
-                df[name] = g.cummax()
+                g = df.groupby(seg, sort=False)[src]
+                r = g.cummin() if fn == "running_min" else g.cummax()
+                # pandas emits NaN at NULL rows; SQL repeats the running
+                # value there (leading NULLs stay NULL — ffill is segment-
+                # local, so nothing crosses a key boundary)
+                df[name] = r.groupby(seg, sort=False).ffill()
         elif fn in ("lag", "lead"):
             v = df[src]
             shifted = v.shift(1 if fn == "lag" else -1)
@@ -127,15 +141,18 @@ def window_over(
     single key hotter than a bucket needs a two-pass carry (not needed for
     the transcript/event shapes, where a key is a conversation/user).
     """
-    try:
-        total = ds.count()
-    except Exception:
-        total = 0
-    if 0 < total <= _LOCAL_WINDOW_ROWS:
-        import ray.data as _rd
-
-        return _rd.from_pandas(segmented_windows(ds.to_pandas(), key, order, specs))
     if n_buckets is None:
+        # materialize before counting so an expensive upstream pipeline runs
+        # ONCE (count() re-executes pending transforms; the tag stage below —
+        # or the local to_pandas — then reuses the same blocks). An explicit
+        # n_buckets skips the count entirely and always takes the
+        # distributed path.
+        ds = ds.materialize()
+        total = ds.count()
+        if 0 < total <= _LOCAL_WINDOW_ROWS:
+            import ray.data as _rd
+
+            return _rd.from_pandas(segmented_windows(ds.to_pandas(), key, order, specs))
         n_buckets = int(min(4096, max(16, total // 250_000 + 1)))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:

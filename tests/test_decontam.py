@@ -80,10 +80,10 @@ def test_gram_hash_repeated_words_do_not_collide():
 def _brute_repetition(docs: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for _, r in docs.iterrows():
-        ws = r.text.split(" ")
+        ws = r.text.split(" ") if isinstance(r.text, str) else []
         bgs = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
         cnt = pd.Series(bgs).value_counts()
-        dup = 1.0 - len(set(ws)) / len(ws)
+        dup = 1.0 - len(set(ws)) / len(ws) if ws else 0.0
         top = cnt.iloc[0] / len(bgs) if bgs else 0.0
         rows.append(
             {
@@ -91,7 +91,7 @@ def _brute_repetition(docs: pd.DataFrame) -> pd.DataFrame:
                 "n_words": len(ws),
                 "dup_word_frac": dup,
                 "top_bigram_frac": top,
-                "keep": int(dup <= 0.625 and top <= 0.05),
+                "keep": int(dup <= 0.625 and top <= 0.05 and len(ws) >= 2),
             }
         )
     out = pd.DataFrame(rows)
@@ -106,8 +106,15 @@ def test_repetition_stats_matches_brute_force():
     # plant a phrase-loop doc and a word-loop doc so both gates trip
     docs.loc[0, "text"] = "spam ham " * 20 + "spam ham"
     docs.loc[1, "text"] = " ".join(["loop"] * 25)
+    # degenerate docs pass both fraction gates trivially — the min-words
+    # gate must reject them (keep=0), and a row must still be emitted
+    docs.loc[2, "text"] = "solo"
+    docs.loc[3, "text"] = ""
+    docs.loc[4, "text"] = None
     got = repetition_stats(pa.table(docs)).to_pandas()
     want = _brute_repetition(docs)
     pd.testing.assert_frame_equal(got, want)
     assert got.loc[0, "keep"] == 0 and got.loc[1, "keep"] == 0
+    assert list(got.loc[2:4, "keep"]) == [0, 0, 0]
+    assert list(got.loc[2:4, "n_words"]) == [1, 1, 0]
     assert got["keep"].sum() > 0

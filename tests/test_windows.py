@@ -85,3 +85,40 @@ def test_window_over_distributed_matches_local(ray_session, monkeypatch):
     dist = _run(df, n_buckets=8)
     pd.testing.assert_frame_equal(local, dist, check_dtype=False)
     assert len(local) == len(df)
+
+
+def test_segmented_windows_sql_null_semantics():
+    """SQL OVER semantics with NULLs, checked against DuckDB directly:
+    SUM/MIN/MAX at a NULL row emit the running value (pandas cumulatives
+    would emit NaN), AVG divides by the NON-NULL prefix count (not the row
+    rank), leading NULLs stay NULL, and NULL partition keys form ONE
+    partition (not one segment per NaN row)."""
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200).astype("float64"),
+            "o": np.arange(200, dtype=np.int64),
+            "v": rng.normal(size=200).round(3),
+        }
+    )
+    df.loc[rng.choice(200, 60, replace=False), "v"] = np.nan
+    df.loc[rng.choice(200, 30, replace=False), "k"] = np.nan
+    got = w.segmented_windows(df.copy(), "k", ["o"], SPECS).reset_index(drop=True)
+    exp = duckdb.sql(
+        """
+        SELECT k, o, v,
+               CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+               SUM(v) OVER win AS rsum,
+               AVG(v) OVER win AS rmean,
+               MIN(v) OVER win AS rmin,
+               MAX(v) OVER win AS rmax,
+               LAG(v) OVER win AS prev_v,
+               LEAD(v) OVER win AS next_v
+        FROM df
+        WINDOW win AS (PARTITION BY k ORDER BY o ROWS UNBOUNDED PRECEDING)
+        ORDER BY k NULLS LAST, o
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
