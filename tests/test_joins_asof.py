@@ -221,3 +221,88 @@ def test_distinct_keys_drops_nulls(ray_session):
     df = pd.DataFrame({"k": [3.0, 1.0, np.nan, 3.0, 2.0]})
     got = jn.distinct_keys(rd.from_pandas(df), "k")
     assert got.tolist() == [1.0, 2.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# int64 exactness above 2**53 through the union-shuffle fill
+# ---------------------------------------------------------------------------
+
+_BIG = 2**53  # float64 integer-exactness ceiling
+
+
+def test_bucketed_join_int64_above_2p53_exact(ray_session):
+    """Snowflake-style ids exceed 2**53; a NaN union fill would float64-
+    promote them through the shuffle and round the low bits away. The
+    sentinel fill must keep every payload bit-exact on both sides."""
+    rng = np.random.default_rng(17)
+    n = 300
+    keys = rng.integers(0, 60, n)
+    left = pd.DataFrame(
+        {"k": keys, "lid": _BIG + np.arange(n, dtype=np.int64) * 3 + 1}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(60), "rid": _BIG + np.arange(60, dtype=np.int64) * 7 + 5}
+    )
+    out = jn.bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=8
+    ).to_pandas()
+    want = left.merge(right, on="k")
+    assert out["lid"].dtype == np.int64 and out["rid"].dtype == np.int64
+    got = out.sort_values(["k", "lid"]).reset_index(drop=True)
+    want = want.sort_values(["k", "lid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lid", "rid"]], want[["k", "lid", "rid"]], check_dtype=False)
+    # the exactness claim itself: odd offsets survive (any float64 round trip
+    # of 2**53+odd lands on an even value)
+    assert ((got["lid"] - _BIG) % 3 == 1).all()
+    assert ((got["rid"] - _BIG) % 7 == 5).all()
+
+
+def test_asof_join_int64_above_2p53_exact(ray_session, monkeypatch):
+    rng = np.random.default_rng(23)
+    n = 200
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n),
+            "t": rng.integers(0, 1000, n).astype(np.int64),
+            "lid": _BIG + np.arange(n, dtype=np.int64) * 3 + 1,
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n),
+            "t": rng.integers(0, 1000, n).astype(np.int64),
+            "rid": _BIG + np.arange(n, dtype=np.int64) * 7 + 5,
+        }
+    ).drop_duplicates(["k", "t"])
+    monkeypatch.setattr(jn, "_LOCAL_MATCH_ROWS", 0)  # force the shuffle path
+    out = jn.asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        right_cols={"rid": "rid"},
+        n_buckets=8,
+    ).to_pandas()
+    assert len(out) > 0
+    assert out["lid"].dtype == np.int64 and out["rid"].dtype == np.int64
+    assert ((out["lid"] - _BIG) % 3 == 1).all()
+    assert ((out["rid"] - _BIG) % 7 == 5).all()
+
+
+def test_anti_join_int64_above_2p53_exact(ray_session, monkeypatch):
+    rng = np.random.default_rng(29)
+    big = pd.DataFrame(
+        {
+            "id": rng.integers(0, 200, 400),
+            "pay": _BIG + np.arange(400, dtype=np.int64) * 3 + 1,
+        }
+    )
+    right = pd.DataFrame({"id": rng.integers(100, 300, 250)})
+    monkeypatch.setattr(jn, "_BROADCAST_KEY_ROWS", 0)  # force the shuffle path
+    out = jn.anti_join(
+        rd.from_pandas(big), rd.from_pandas(right), on="id", n_buckets=8
+    ).to_pandas()
+    want = big[~big.id.isin(right.id)]
+    assert out["pay"].dtype == np.int64
+    assert sorted(out["pay"]) == sorted(want["pay"])
