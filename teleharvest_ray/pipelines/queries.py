@@ -1655,3 +1655,50 @@ ORACLE_SQL["q_repetition_filter"] = """
     FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN top USING (doc_id)
     ORDER BY doc_id
 """
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-GROUP collapse: candidate edges = docs sharing any word
+    4-gram (stages/dedup.gram_edges — one groupby shuffle, candidate-sized
+    collection), transitive closure via connected components
+    (stages/cluster — vectorized min-label fixpoint locally, bucketed-join
+    label propagation at scale), canonical keep = min doc_id per cluster.
+    Singleton docs are attached by a size-dispatched anti-join, so the
+    driver never sees a corpus-sized id list on the scale path."""
+    from ..stages import cluster as cl
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(docs, "text", "doc_id", n=4)
+    labels = cl.connected_components(edges, nodes=docs.select_columns(["doc_id"]))
+    out = cl.cluster_stats(labels).to_pandas()
+    out = out.rename(columns={"node": "doc_id"})
+    out = out[["doc_id", "cluster_id", "cluster_size", "keep"]]
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+QUERIES["q_dedup_clusters"] = q_dedup_clusters
+ORACLE_SQL["q_dedup_clusters"] = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+    -- min-label reachability: a label only needs to propagate while it is
+    -- smaller than the receiving node (the component minimum satisfies this
+    -- on every hop), which keeps the closure linear in practice
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.v AS node, reach.label AS label
+        FROM reach JOIN e ON e.u = reach.node WHERE reach.label < e.v
+    ),
+    lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT lab.node AS doc_id, lab.cluster_id AS cluster_id,
+           siz.cluster_size AS cluster_size,
+           CAST(lab.node = lab.cluster_id AS BIGINT) AS keep
+    FROM lab JOIN siz USING (cluster_id)
+    ORDER BY doc_id
+"""

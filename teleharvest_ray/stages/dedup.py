@@ -243,6 +243,48 @@ def _bucket_pairs_distributed(
     return pdf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def gram_edges(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    n_parts: int = 32,
+    cap: int = 2000,
+) -> pd.DataFrame:
+    """Candidate duplicate edges: distinct doc pairs (id_a < id_b) sharing
+    at least one word ``n``-gram. Single-space tokenization (SQL
+    ``string_split`` semantics) and the shared rolling-hash kernel, so the
+    pair set matches a SQL self-join on gram strings exactly (hash collision
+    probability ~2**-64). Pairing rides the same distributed machinery as
+    MinHash banding — ONE groupby shuffle of (gram_hash, id) rows above the
+    local threshold, only the candidate pair set reaches the driver.
+
+    ``cap`` bounds pairs from degenerate grams shared by thousands of docs
+    (the standard LSH-bucket cap); oracles at test scale never hit it."""
+
+    def to_grams(tbl: pa.Table) -> pa.Table:
+        texts = np.asarray(tbl[text_col].to_pandas(), dtype=object)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        rows, wh = explode_tokens(texts, sep=" ")
+        rows, gh = chain_gram_hashes(rows, wh, n)
+        # per-batch (doc, gram) dedup IS global dedup — a doc lives entirely
+        # inside one batch row (same argument as decontam's gram pairs)
+        if len(rows):
+            order = np.lexsort((gh, rows))
+            rows, gh = rows[order], gh[order]
+            first = np.r_[True, (rows[1:] != rows[:-1]) | (gh[1:] != gh[:-1])]
+            rows, gh = rows[first], gh[first]
+        return pa.table(
+            {
+                "bh": pa.array(gh.astype(np.int64)),
+                id_col: pa.array(ids[rows]),
+            }
+        )
+
+    grams = ds.map_batches(to_grams, batch_format="pyarrow")
+    return _bucket_pairs_distributed(grams, ["bh"], id_col, n_parts=n_parts, cap=cap)
+
+
 def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard for candidate verification."""
     def grams(t):

@@ -1,0 +1,151 @@
+"""Connected-components clustering: local kernel vs brute-force BFS,
+distributed-path equivalence (threshold forced to 0), singleton attachment,
+and cluster stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+import teleharvest_ray.stages.cluster as cl
+import teleharvest_ray.stages.joins as jn
+
+
+def _brute_cc(u, v, nodes):
+    adj = {}
+    for a, b in zip(u, v):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for start in sorted(set(nodes) | set(adj)):
+        if start in label:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    return pd.DataFrame(
+        {"node": sorted(label), "cluster_id": [label[k] for k in sorted(label)]}
+    ).astype("int64")
+
+
+def test_cc_local_vs_brute_force():
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n_nodes = int(rng.integers(2, 120))
+        n_edges = int(rng.integers(0, 200))
+        ids = rng.choice(10_000, n_nodes, replace=False).astype(np.int64)
+        u = rng.choice(ids, n_edges)
+        v = rng.choice(ids, n_edges)
+        got = cl.cc_local(u, v, nodes=ids)
+        want = _brute_cc(u, v, ids)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_cc_local_chain_converges_logarithmically():
+    # a 10k-node path graph is the worst case for plain min-propagation
+    # (diameter rounds); pointer halving must crack it fast and exactly
+    n = 10_000
+    u = np.arange(n - 1, dtype=np.int64)
+    v = u + 1
+    got = cl.cc_local(u, v)
+    assert (got["cluster_id"] == 0).all() and len(got) == n
+
+
+def test_cc_local_empty():
+    got = cl.cc_local(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(got) == 0 and list(got.columns) == ["node", "cluster_id"]
+
+
+def _mk_graph(seed=11, n_nodes=300, n_edges=250):
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(100_000, n_nodes, replace=False).astype(np.int64)
+    edges = pd.DataFrame(
+        {"id_a": rng.choice(ids, n_edges), "id_b": rng.choice(ids, n_edges)}
+    )
+    edges = edges[edges.id_a != edges.id_b].reset_index(drop=True)
+    return ids, edges
+
+
+def test_connected_components_distributed_matches_local(ray_session, monkeypatch):
+    ids, edges = _mk_graph()
+    local = (
+        cl.connected_components(rd.from_pandas(edges), nodes=rd.from_pandas(pd.DataFrame({"doc_id": ids})))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(cl, "_LOCAL_CC_EDGES", 0)
+    monkeypatch.setattr(jn, "_BROADCAST_KEY_ROWS", 0)  # singleton anti-join shuffled too
+    dist = (
+        cl.connected_components(
+            rd.from_pandas(edges),
+            nodes=rd.from_pandas(pd.DataFrame({"doc_id": ids})),
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist, check_dtype=False)
+    want = _brute_cc(edges.id_a.to_numpy(), edges.id_b.to_numpy(), ids)
+    pd.testing.assert_frame_equal(local.astype("int64"), want)
+    assert len(local) == len(ids)  # every node labeled, singletons included
+
+
+def test_cluster_stats_sizes_and_keep(ray_session):
+    labels = pd.DataFrame(
+        {"node": [1, 2, 3, 7, 9], "cluster_id": [1, 1, 1, 7, 9]}
+    )
+    out = (
+        cl.cluster_stats(rd.from_pandas(labels))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["cluster_size"].tolist() == [3, 3, 3, 1, 1]
+    assert out["keep"].tolist() == [1, 0, 0, 1, 1]
+
+
+def test_gram_edges_matches_sql_semantics(ray_session):
+    import duckdb
+
+    import teleharvest_ray.stages.dedup as dd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps",
+                "a quick brown fox jumps high",  # shares "quick brown fox jumps"
+                "totally different words here now",
+                "the quick brown fox jumps",  # exact dup of doc 0
+                None,
+                "short text",  # <4 words: no grams
+            ],
+        }
+    )
+    got = dd.gram_edges(rd.from_pandas(docs), "text", "doc_id", n=4)
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+        g AS (SELECT DISTINCT doc_id,
+                     unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+              FROM d),
+        e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT * FROM e ORDER BY id_a, id_b
+        """
+    ).df().astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
+    assert {(0, 1), (0, 3), (1, 3)} <= set(zip(exp.id_a, exp.id_b))
