@@ -1702,3 +1702,92 @@ ORACLE_SQL["q_dedup_clusters"] = """
     FROM lab JOIN siz USING (cluster_id)
     ORDER BY doc_id
 """
+
+
+_BM25_TERMS = ("scan", "join", "slow")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """BM25 relevance scoring of every document against a fixed query —
+    the ranking primitive of a retrieval-based curation pipeline. Two
+    streaming passes, ZERO data shuffles: pass 1 reduces each batch to
+    |terms| rows of (df, doc-count, token-count) partials (the only thing
+    the driver ever holds); pass 2 re-streams the corpus scoring each doc
+    against the broadcast idf/avgdl constants. Tokenization is the shared
+    single-space kernel (functions/ngrams.explode_tokens), so term counts
+    match SQL ``string_split`` exactly; scores are deterministic because
+    every input to the float formula (tf, df, N, dl) is an exact integer.
+    Reference analog: the relevance gate in the reference's scoring chain
+    (/root/reference/services/openai_service.py score threshold), recast as
+    a lexical scorer."""
+    from ..functions.hashing import hash_strings
+    from ..functions.ngrams import explode_tokens
+
+    term_h = hash_strings(np.asarray(_BM25_TERMS, dtype=object))
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        texts = np.asarray(tbl["text"].to_pandas(), dtype=object)
+        rows, wh = explode_tokens(texts, sep=" ")
+        df_t = np.empty(len(term_h), np.int64)
+        for i, h in enumerate(term_h):  # |terms| iterations, vectorized inside
+            df_t[i] = len(np.unique(rows[wh == h]))
+        n_docs = int(pd.notna(texts).sum())
+        return pa.table(
+            {
+                "term_idx": pa.array(np.arange(len(term_h)), type=pa.int64()),
+                "df": pa.array(df_t),
+                "n_docs": pa.array(np.full(len(term_h), n_docs, dtype=np.int64)),
+                "n_tokens": pa.array(np.full(len(term_h), len(rows), dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("term_idx", sort=True)["df"].sum()
+    df_t = g.to_numpy(dtype=np.float64)
+    n = float(parts.loc[parts.term_idx == 0, "n_docs"].sum())
+    avgdl = float(parts.loc[parts.term_idx == 0, "n_tokens"].sum()) / max(n, 1.0)
+    idf = np.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        texts = np.asarray(tbl["text"].to_pandas(), dtype=object)
+        rows, wh = explode_tokens(texts, sep=" ")
+        dl = np.bincount(rows, minlength=len(texts)).astype(np.float64)
+        sc = np.zeros(len(texts), dtype=np.float64)
+        for i, h in enumerate(term_h):
+            tf = np.bincount(rows[wh == h], minlength=len(texts)).astype(np.float64)
+            sc += idf[i] * tf * (_BM25_K1 + 1.0) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+        return pa.table({"doc_id": tbl["doc_id"], "bm25": pa.array(np.round(sc, 6))})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_bm25"] = q_bm25
+ORACLE_SQL["q_bm25"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+    dl AS (SELECT doc_id, len(ws) * 1.0 AS dl FROM t),
+    corp AS (SELECT COUNT(*) * 1.0 AS n, AVG(len(ws)) AS avgdl FROM t),
+    qt AS (SELECT * FROM (VALUES ('{_BM25_TERMS[0]}'), ('{_BM25_TERMS[1]}'),
+                                 ('{_BM25_TERMS[2]}')) AS q(term)),
+    df AS (SELECT qt.term, COUNT(DISTINCT tok.doc_id) * 1.0 AS df
+           FROM qt LEFT JOIN tok USING (term) GROUP BY qt.term),
+    tf AS (SELECT doc_id, term, COUNT(*) * 1.0 AS tf
+           FROM tok JOIN qt USING (term) GROUP BY 1, 2),
+    sc AS (SELECT tf.doc_id,
+                  SUM(LN(1.0 + (corp.n - df.df + 0.5) / (df.df + 0.5))
+                      * tf.tf * {_BM25_K1 + 1.0}
+                      / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                         + {_BM25_B} * dl.dl / corp.avgdl))) AS score
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corp
+           GROUP BY 1)
+    SELECT d.doc_id, ROUND(COALESCE(sc.score, 0.0), 6) AS bm25
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    ORDER BY doc_id
+"""
