@@ -123,7 +123,12 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         # vectorized path (measured 12x slower on this box)
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    # coalesce the key-x-batch-sized partials before the groupby: the
+    # aggregate's output partition count follows its input block count, and
+    # with ~6 keys spread over dozens of blocks most output partitions come
+    # out EMPTY (schema-less pandas blocks -> executor schema warnings).
+    # Partials are tiny at any input scale, so this shuffles almost nothing.
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(2)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -1345,15 +1350,17 @@ ORACLE_SQL["q_heavy_hitters"] = """
     GROUP BY w ORDER BY n DESC, w LIMIT 10
 """
 
-def _hash_split_sql(seed: int = 97) -> str:
-    """DuckDB SQL reproducing hash_split's splitmix64 keyed assignment
-    EXACTLY: 64-bit wraparound multiply emulated as two 32-bit halves in
-    HUGEINT (a full 64x64 product overflows INT128), so the oracle computes
-    the identical split for every doc_id — the keyed-hash split is
-    SQL-expressible after all."""
+def _splitmix_cte(table: str, key_sql: str, carry: list[str], seed: int) -> str:
+    """SQL CTE chain reproducing sampling._key_hash_u64's integer path —
+    splitmix64(key ^ seed) % 10^6 — bit-exactly in DuckDB: the 64-bit
+    wraparound multiply is emulated as two 32-bit halves in HUGEINT (a full
+    64x64 product overflows INT128). Yields relation ``h(*carry, r)``; any
+    keyed-hash sampling decision becomes SQL-expressible by thresholding
+    ``r``."""
     m64 = 2**64
     c1h, c1l = divmod(0xBF58476D1CE4E5B9, 2**32)
     c2h, c2l = divmod(0x94D049BB133111EB, 2**32)
+    cols = "".join(f"{c}, " for c in carry)
 
     def mul(ch: int, cl: int) -> str:  # (y * c) mod 2^64, y already UBIGINT
         return (
@@ -1364,15 +1371,26 @@ def _hash_split_sql(seed: int = 97) -> str:
         )
 
     return f"""
-    WITH s0 AS (SELECT xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT)) AS x FROM documents),
-    s1 AS (SELECT CAST((CAST(x AS HUGEINT) + {0x9E3779B97F4A7C15}) % {m64} AS UBIGINT) AS x FROM s0),
-    s2 AS (SELECT {mul(c1h, c1l)} AS x FROM (SELECT xor(x, x >> 30) AS y FROM s1)),
-    s3 AS (SELECT {mul(c2h, c2l)} AS x FROM (SELECT xor(x, x >> 27) AS y FROM s2)),
-    h AS (SELECT xor(x, x >> 31) % 1000000 AS r FROM s3)
+    WITH s0 AS (SELECT {cols}xor(CAST({key_sql} AS UBIGINT), CAST({seed} AS UBIGINT)) AS x FROM {table}),
+    s1 AS (SELECT {cols}CAST((CAST(x AS HUGEINT) + {0x9E3779B97F4A7C15}) % {m64} AS UBIGINT) AS x FROM s0),
+    s2 AS (SELECT {cols}{mul(c1h, c1l)} AS x FROM (SELECT {cols}xor(x, x >> 30) AS y FROM s1)),
+    s3 AS (SELECT {cols}{mul(c2h, c2l)} AS x FROM (SELECT {cols}xor(x, x >> 27) AS y FROM s2)),
+    h AS (SELECT {cols}xor(x, x >> 31) % 1000000 AS r FROM s3)
+    """
+
+
+def _hash_split_sql(seed: int = 97) -> str:
+    """DuckDB SQL reproducing hash_split's splitmix64 keyed assignment
+    EXACTLY (see :func:`_splitmix_cte`), so the per-split counts
+    hash-match — the keyed-hash split is SQL-expressible after all."""
+    return (
+        _splitmix_cte("documents", "doc_id", [], seed)
+        + """
     SELECT split, COUNT(*) AS n FROM (
       SELECT CASE WHEN r < 800000 THEN 'train' WHEN r < 900000 THEN 'val' ELSE 'test' END AS split FROM h
     ) GROUP BY split ORDER BY split
     """
+    )
 
 
 QUERIES["q_pii_scan"] = q_pii_scan
@@ -1790,4 +1808,204 @@ ORACLE_SQL["q_bm25"] = f"""
     SELECT d.doc_id, ROUND(COALESCE(sc.score, 0.0), 6) AS bm25
     FROM documents d LEFT JOIN sc USING (doc_id)
     ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / per-group top-k / grouped mode / ordering checks
+# ---------------------------------------------------------------------------
+
+#: per-stratum sampling rates for q_stratified_sample — downsample the
+#: dominant interaction events, keep conversions whole (the canonical
+#: class-rebalance shape for training-data curation)
+_STRAT_RATES = {"click": 0.12, "view": 0.05, "purchase": 1.0}
+_STRAT_DEFAULT = 0.5
+_STRAT_SEED = 131
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sampling (stages/sampling.stratified_sample):
+    per-stratum keep rates resolved through a per-batch dictionary-encoded
+    LUT, decision = splitmix64(event_id ^ seed) % 10^6 < rate. Shuffle-free,
+    order-independent, append-stable. Oracle-backed bit-exactly: the keyed
+    hash is reproduced in SQL (:func:`_splitmix_cte`) and the per-stratum
+    count + id checksum hash-compare."""
+    from ..stages import sampling as sp
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    out = (
+        sp.stratified_sample(
+            ds, "event_type", "event_id", _STRAT_RATES, default_rate=_STRAT_DEFAULT, seed=_STRAT_SEED
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="id_sum"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["id_sum"] = out["id_sum"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)[["event_type", "n", "id_sum"]]
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(_STRAT_RATES.items())
+    )
+    return (
+        _splitmix_cte("events", "event_id", ["event_type", "event_id"], _STRAT_SEED)
+        + f"""
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM h
+    WHERE r < CASE event_type {cases} ELSE {int(_STRAT_DEFAULT * 1_000_000)} END
+    GROUP BY event_type ORDER BY event_type
+    """
+    )
+
+
+QUERIES["q_stratified_sample"] = q_stratified_sample
+ORACLE_SQL["q_stratified_sample"] = _stratified_sample_sql()
+
+
+def q_top_per_group(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-group top-k (top-3 orders per customer by price):
+    a batch-local combiner first prunes each batch to its own per-key top-3
+    (any global top-3 row of a key is a batch-local top-3 row — the shrink
+    is data-sized in, 3x-keys-sized out BEFORE the shuffle), then ONE
+    window_over hash-bucket shuffle ranks the survivors with the segmented
+    row_number kernel. At 10^12 rows the shuffle moves <= 3 rows per key,
+    never the fact table."""
+    K = 3
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df["neg_price"] = -df["o_totalprice"]
+        return df.groupby("o_custkey", sort=False).head(K)
+
+    out = wd.window_over(
+        ds.map_batches(prune, batch_format="pandas"),
+        key="o_custkey",
+        order=["neg_price", "o_orderkey"],
+        specs=[("row_number", None, "rk")],
+    ).to_pandas()
+    out = out[out["rk"] <= K].drop(columns="neg_price")
+    out["rk"] = out["rk"].astype("int64")
+    return out.sort_values(["o_custkey", "rk"]).reset_index(drop=True)[
+        ["o_custkey", "rk", "o_orderkey", "o_totalprice"]
+    ]
+
+
+QUERIES["q_top_per_group"] = q_top_per_group
+ORACLE_SQL["q_top_per_group"] = """
+    SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3 ORDER BY o_custkey, rk
+"""
+
+
+def q_mode_by_group(sf_dir: str) -> pd.DataFrame:
+    """Grouped mode (most frequent lang per source, deterministic min-lang
+    tie-break) via the partial-counts combiner shape: per-batch
+    (source, lang) counts inside map_batches, a groupby over the tiny
+    (sources x langs) partial space, then a group-count-sized driver argmax.
+    The data-sized scan never shuffles — only count rows do."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source", "lang"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["source", "n", "lang"], ascending=[True, False, True], kind="stable"
+    )
+    out = counts.groupby("source", sort=False).head(1).reset_index(drop=True)
+    out = out.rename(columns={"lang": "mode_lang"})
+    out["n"] = out["n"].astype("int64")
+    return out[["source", "mode_lang", "n"]]
+
+
+QUERIES["q_mode_by_group"] = q_mode_by_group
+ORACLE_SQL["q_mode_by_group"] = """
+    WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, lang AS mode_lang, n,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+          FROM c)
+    SELECT source, mode_lang, n FROM r WHERE rk = 1 ORDER BY source
+"""
+
+
+#: minimum plausible inter-event spacing per user — events closer than this
+#: to their predecessor are flagged as a burst (bot/replay anomaly)
+_BURST_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_burst_events(sf_dir: str) -> pd.DataFrame:
+    """Temporal-spacing constraint check — the transcript inter-turn-gap
+    validation (north_rule ordering family) recast on events: under per-user
+    time order (ts, event_id), flag rows that arrived less than
+    ``_BURST_GAP_US`` after the user's previous event (rapid-fire burst /
+    replay anomaly). ONE window_over shuffle computes lag(ts) with the
+    segmented kernel; the flagged set reduces to per-type counts + id
+    checksum without ever landing on the driver."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    w = wd.window_over(
+        ds, key="user_id", order=["ts", "event_id"], specs=[("lag", "ts", "prev_ts")]
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        gap = df["ts"].to_numpy().astype("datetime64[us]").astype("int64") - df[
+            "prev_ts"
+        ].to_numpy().astype("datetime64[us]").astype("int64")
+        m = df["prev_ts"].notna().to_numpy() & (gap < _BURST_GAP_US)
+        return df.loc[m, ["event_type", "event_id"]]
+
+    out = (
+        w.map_batches(flag, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_burst"), Sum("event_id", alias_name="id_sum"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_burst": pd.Series(dtype="int64"),
+                "id_sum": pd.Series(dtype="int64"),
+            }
+        )
+    out["n_burst"] = out["n_burst"].astype("int64")
+    out["id_sum"] = out["id_sum"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n_burst", "id_sum"]
+    ]
+
+
+QUERIES["q_burst_events"] = q_burst_events
+ORACLE_SQL["q_burst_events"] = f"""
+    WITH w AS (SELECT event_type, event_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+    SELECT event_type, COUNT(*) AS n_burst, CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM w WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) < {_BURST_GAP_US}
+    GROUP BY event_type ORDER BY event_type
 """

@@ -102,6 +102,49 @@ def bernoulli_sample(ds: Dataset, key_col: str, p: float, seed: int = 131) -> Da
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: Dataset,
+    stratum_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 131,
+) -> Dataset:
+    """Per-stratum deterministic Bernoulli sample: a row is kept iff its
+    keyed hash falls under its stratum's rate. Shuffle-free and
+    order/partitioning-independent (the decision depends only on the row's
+    key and stratum), so rebalancing a skewed corpus — downsample the
+    dominant class, keep the rare one whole — is a single streaming map that
+    stays stable under appends and re-runs.
+
+    Strata resolve through the batch's dictionary encoding: one small
+    value→cut LUT per batch (built over the handful of distinct strata, not
+    the rows) and a vectorized gather — no per-row dict lookups. Unknown or
+    null strata fall back to ``default_rate``.
+    """
+    import pyarrow.compute as pc
+
+    cuts = {k: np.uint64(min(int(r * float(_RES)), int(_RES))) for k, r in rates.items()}
+    dflt = np.uint64(min(int(default_rate * float(_RES)), int(_RES)))
+
+    def keep(tbl: pa.Table) -> pa.Table:
+        h = _key_hash_u64(tbl[key_col], seed) % _RES
+        col = tbl[stratum_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col if pa.types.is_dictionary(col.type) else pc.dictionary_encode(col)
+        vals = enc.dictionary.to_pylist()
+        lut = np.array([cuts.get(v, dflt) for v in vals] + [dflt], dtype=np.uint64)
+        idx = (
+            pc.fill_null(enc.indices, len(vals))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return tbl.filter(pa.array(h < lut[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def reservoir_sample(ds: Dataset, key_col: str, k: int, seed: int = 211) -> pd.DataFrame:
     """Exact uniform k-sample of distinct keys, deterministic given seed.
 

@@ -137,3 +137,53 @@ def test_export_splits_layout(ray_session, tmp_path):
     assert train_ids | val_ids == set(range(3000))
     assert not (train_ids & val_ids)
     assert abs(len(train_ids) / 3000 - 0.9) < 0.03
+
+
+def test_stratified_sample_rates_and_partition_invariance(ray_session):
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "cls": np.where(np.arange(n) % 10 < 8, "common", "rare"),
+        }
+    )
+    rates = {"common": 0.1, "rare": 1.0}
+    s1 = sp.stratified_sample(rd.from_pandas(df), "cls", "id", rates).to_pandas()
+    # per-stratum rates respected
+    kept = s1.cls.value_counts()
+    assert kept["rare"] == (df.cls == "rare").sum()  # rate 1.0 keeps everything
+    assert abs(kept["common"] / (df.cls == "common").sum() - 0.1) < 0.02
+    # decision is per-(key, stratum): invariant under order + block layout
+    relaid = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    s2 = sp.stratified_sample(
+        rd.from_pandas(relaid).repartition(9), "cls", "id", rates
+    ).to_pandas()
+    assert set(s1.id) == set(s2.id)
+
+
+def test_stratified_sample_default_rate_and_nulls(ray_session):
+    df = pd.DataFrame(
+        {"id": np.arange(4_000), "cls": ["known", None] * 2_000}
+    )
+    out = sp.stratified_sample(
+        rd.from_pandas(df), "cls", "id", {"known": 1.0}, default_rate=0.25
+    ).to_pandas()
+    assert (out.cls == "known").sum() == 2_000  # listed stratum keeps its rate
+    null_kept = out.cls.isna().sum()
+    assert abs(null_kept / 2_000 - 0.25) < 0.05  # unknown/null -> default_rate
+    # default_rate=0 drops unlisted strata entirely
+    out0 = sp.stratified_sample(
+        rd.from_pandas(df), "cls", "id", {"known": 0.5}
+    ).to_pandas()
+    assert out0.cls.notna().all()
+
+
+def test_stratified_sample_matches_bernoulli_when_uniform(ray_session, ids_df):
+    """With every stratum at rate p and the same seed, stratified == bernoulli
+    (same keyed hash, same threshold) — pins the two kernels together."""
+    df = ids_df.assign(cls=np.where(ids_df.doc_id % 2 == 0, "a", "b"))
+    strat = sp.stratified_sample(
+        rd.from_pandas(df), "cls", "doc_id", {"a": 0.2, "b": 0.2}, seed=131
+    ).to_pandas()
+    bern = sp.bernoulli_sample(rd.from_pandas(df), "doc_id", 0.2, seed=131).to_pandas()
+    assert set(strat.doc_id) == set(bern.doc_id)
