@@ -2009,3 +2009,88 @@ ORACLE_SQL["q_burst_events"] = f"""
       AND epoch_us(ts) - epoch_us(prev_ts) < {_BURST_GAP_US}
     GROUP BY event_type ORDER BY event_type
 """
+
+
+_TEMP_SEED = 277
+
+
+def q_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based language rebalancing (the multilingual-corpus
+    resampling scheme from the XLM-R/mBERT line of work, alpha=0.5): keep
+    rate per lang = sqrt(min_share / share), so the rarest language is kept
+    whole and dominant ones are downsampled toward equal representation.
+    Two pruned streaming scans, zero data shuffles: a tiny per-lang count
+    pass derives the rates, then stratified_sample applies them with the
+    keyed hash. Oracle-backed bit-exactly — sqrt and division are IEEE
+    correctly-rounded, so numpy and DuckDB derive the SAME integer cut per
+    lang, and the splitmix64 keep decision is reproduced in SQL."""
+    from ..stages import sampling as sp
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", sort=False, dropna=False).size().reset_index(name="n")
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_total"))
+        .to_pandas()
+    )
+    cmin = np.float64(counts.n_total.min())
+    cuts = {
+        r.lang: int(np.floor(np.sqrt(cmin / np.float64(r.n_total)) * np.float64(1_000_000)))
+        for r in counts.itertuples()
+    }
+    rates = {k: v / 1_000_000 for k, v in cuts.items()}
+    kept = (
+        sp.stratified_sample(ds, "lang", "doc_id", rates, seed=_TEMP_SEED)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_kept"), Sum("doc_id", alias_name="id_sum"))
+        .to_pandas()
+    )
+    out = kept.merge(counts, on="lang", how="inner")
+    for c in ("n_total", "n_kept", "id_sum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_total", "n_kept", "id_sum"]
+    ]
+
+
+QUERIES["q_temperature_sample"] = q_temperature_sample
+ORACLE_SQL["q_temperature_sample"] = (
+    _splitmix_cte("documents", "doc_id", ["lang", "doc_id"], _TEMP_SEED)
+    + """
+    , c AS (SELECT lang, COUNT(*) * 1.0 AS c, COUNT(*) AS n_total FROM documents GROUP BY 1),
+    m AS (SELECT MIN(c) AS cmin FROM c),
+    cut AS (SELECT lang, n_total,
+                   CAST(FLOOR(SQRT(m.cmin / c.c) * 1000000) AS BIGINT) AS cut
+            FROM c, m)
+    SELECT h.lang, cut.n_total AS n_total, COUNT(*) AS n_kept,
+           CAST(SUM(h.doc_id) AS BIGINT) AS id_sum
+    FROM h JOIN cut USING (lang)
+    WHERE h.r < cut.cut
+    GROUP BY h.lang, cut.n_total ORDER BY lang
+    """
+)
+
+
+def q_quarantine_export(sf_dir: str) -> pd.DataFrame:
+    """Quarantine/clean corpus split (pipelines/export.py): validate, then
+    materialize the clean set and the quarantined violations as per-partition
+    parquet, resumable. Rows-only check (the split's exactness — quarantined
+    == row-level violation keys, clean+quarantine == input — is pinned by
+    tests/test_export.py)."""
+    from .export import export_quarantine
+
+    data = synth_transcripts(sf_dir)
+    out = os.path.join(_OUT_ROOT, os.path.basename(data) + "_qexp")
+    exp = os.path.join(_OUT_ROOT, os.path.basename(data) + "_qexp_split")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(exp, ignore_errors=True)
+    run_validation(data, out, ValidationConfig(), write_annotated=False)
+    res = export_quarantine(data, out, exp)
+    return pd.DataFrame([res])[["n_partitions", "rows", "quarantined", "n_skipped"]]
+
+
+QUERIES["q_quarantine_export"] = q_quarantine_export

@@ -124,8 +124,11 @@ def stratified_sample(
     """
     import pyarrow.compute as pc
 
-    cuts = {k: np.uint64(min(int(r * float(_RES)), int(_RES))) for k, r in rates.items()}
-    dflt = np.uint64(min(int(default_rate * float(_RES)), int(_RES)))
+    # round (not truncate) so a rate expressed as cut/1e6 round-trips to the
+    # same integer cut — callers that derive cuts externally (temperature
+    # sampling's floor(sqrt(...)*1e6) and the SQL oracles) stay bit-exact
+    cuts = {k: np.uint64(min(round(r * float(_RES)), int(_RES))) for k, r in rates.items()}
+    dflt = np.uint64(min(round(default_rate * float(_RES)), int(_RES)))
 
     def keep(tbl: pa.Table) -> pa.Table:
         h = _key_hash_u64(tbl[key_col], seed) % _RES
