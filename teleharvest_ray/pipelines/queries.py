@@ -2094,3 +2094,41 @@ def q_quarantine_export(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q_quarantine_export"] = q_quarantine_export
+
+
+def q_sorted_ranks(sf_dir: str) -> pd.DataFrame:
+    """Distributed global sort with exact rank assignment
+    (stages/ordering.py): sample-based range partitioning, per-range
+    lexsort, count-prefix rank offsets. Emits every 997th rank of lineitem
+    under ORDER BY (l_extendedprice, l_orderkey, l_linenumber) — a
+    rank-sampled audit whose output is driver-safe at any input size and
+    hash-compares against SQL ROW_NUMBER."""
+    from ..stages import ordering as od
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = od.global_ranks(
+        ds,
+        key="l_extendedprice",
+        tiebreak=["l_orderkey", "l_linenumber"],
+        n_ranges=32,
+        keep=["l_orderkey", "l_extendedprice"],
+        every=997,
+    ).to_pandas()
+    out["rk"] = out["rk"].astype("int64")
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    return out.sort_values("rk").reset_index(drop=True)[
+        ["rk", "l_orderkey", "l_extendedprice"]
+    ]
+
+
+QUERIES["q_sorted_ranks"] = q_sorted_ranks
+ORACLE_SQL["q_sorted_ranks"] = """
+    SELECT rk, l_orderkey, l_extendedprice FROM (
+      SELECT l_orderkey, l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+      FROM lineitem)
+    WHERE rk % 997 = 1 ORDER BY rk
+"""

@@ -1,0 +1,156 @@
+"""Distributed global ordering: sample-based range partitioning, global rank
+assignment, and sorted range-partitioned export.
+
+Ray Data's ``Dataset.sort`` performs an opaque sample+shuffle; pipelines here
+need the two things it doesn't expose: the GLOBAL RANK of each row (for
+rank-sampled audits and percentile-exact checks) and a RESUMABLE sorted
+export (one parquet file per key range, skip finished ranges on re-run — the
+brief's partitioned-output contract). Both come from the same explicit
+decomposition:
+
+1. ``sample_boundaries`` — a small per-block evenly-spaced key sample is
+   collected (sample-sized, never data-sized) and interior quantile cuts are
+   taken from it.
+2. ``range_tag`` — one streaming pass tags rows with ``searchsorted`` range
+   ids. Equal keys always land in the SAME range (cut comparison is on the
+   key alone), so tie-broken ordering is range-local.
+3. Per-range kernels — ONE groupby shuffle co-locates each range; within a
+   range a vectorized lexsort orders rows, and global ranks are the range's
+   count-prefix offset plus the local position. Range counts are a tiny
+   aggregate; their cumsum is the only driver-side state.
+
+Partitioning assumption (documented per the brief): a single range fits in
+one task's memory — raise ``n_ranges`` for bigger inputs. Boundary quality
+affects only balance, never correctness: ranks are exact for ANY cut
+placement.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from ..state.checkpoint import atomic_write_parquet
+
+
+def sample_boundaries(ds: Dataset, key: str, n_ranges: int, per_block: int = 64) -> np.ndarray:
+    """Interior cut points for ``n_ranges`` ranges from an evenly-spaced
+    per-block key sample. Returns a sorted, deduplicated array of at most
+    ``n_ranges - 1`` cuts (fewer when the key space is narrow)."""
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        if not len(k):
+            return pa.table({key: pa.array([], tbl.schema.field(key).type)})
+        idx = np.linspace(0, len(k) - 1, min(per_block, len(k))).astype(np.int64)
+        return pa.table({key: pa.array(k[idx])})
+
+    s = np.sort(ds.map_batches(pick, batch_format="pyarrow").to_pandas()[key].to_numpy())
+    if not len(s):
+        return s[:0]
+    cuts = s[np.linspace(0, len(s) - 1, n_ranges + 1).astype(np.int64)][1:-1]
+    return np.unique(cuts)
+
+
+def range_tag(ds: Dataset, key: str, bounds: np.ndarray) -> Dataset:
+    """Append an ``__range`` id per row: ``searchsorted(bounds, key)``.
+    Equal keys get equal range ids on every worker and every run."""
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        r = np.searchsorted(bounds, k, side="right").astype(np.int32)
+        return tbl.append_column("__range", pa.array(r))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _range_offsets(tagged: Dataset) -> dict[int, int]:
+    """Global rank offset per range id from a tiny count aggregate."""
+    counts = tagged.groupby("__range").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("__range")
+    offs = np.concatenate([[0], np.cumsum(counts.n.to_numpy())[:-1]])
+    return dict(zip(counts["__range"].astype(int), offs.astype(int)))
+
+
+def global_ranks(
+    ds: Dataset,
+    key: str,
+    tiebreak: list[str],
+    n_ranges: int = 64,
+    keep: list[str] | None = None,
+    every: int = 1,
+) -> Dataset:
+    """Exact global rank (1-based) of every row under
+    ``ORDER BY key, *tiebreak``, distributed: range partition + per-range
+    lexsort + count-prefix offsets. ``every`` > 1 emits only ranks with
+    ``rank % every == 1`` (rank-sampled audit of a sorted order — the output
+    stays driver-safe at any input size)."""
+    keep = keep if keep is not None else [key, *tiebreak]
+    bounds = sample_boundaries(ds, key, n_ranges)
+    tagged = range_tag(ds, key, bounds).materialize()
+    offsets = _range_offsets(tagged)
+    off_ref = ray.put(offsets)
+    cols = [key, *tiebreak]
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(cols, kind="stable").reset_index(drop=True)
+        rank = np.arange(1, len(g) + 1, dtype=np.int64) + offs[int(g["__range"].iat[0])]
+        g = g.assign(rk=rank)
+        if every > 1:
+            g = g[g.rk % every == 1]
+        return g[["rk", *keep]]
+
+    return tagged.groupby("__range").map_groups(per_range, batch_format="pandas")
+
+
+def export_sorted_ranges(
+    ds: Dataset,
+    key: str,
+    out_dir: str,
+    n_ranges: int = 64,
+    tiebreak: list[str] | None = None,
+) -> pd.DataFrame:
+    """Write ``ds`` as a globally sorted, range-partitioned parquet layout:
+    one atomic file per key range (``range=NNNNN.parquet``), rows sorted
+    within each file, file N's keys all <= file N+1's. A range whose file
+    already exists is SKIPPED, so a killed export resumes with only
+    unfinished ranges (resume assumes the INPUT is unchanged — the boundary
+    sample is deterministic for identical input blocks, so range ids line
+    up across runs; a changed input needs a fresh out_dir). Returns the
+    manifest (range id, path, rows, key min/max)."""
+    tiebreak = tiebreak or []
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = sample_boundaries(ds, key, n_ranges)
+    tagged = range_tag(ds, key, bounds)
+    cols = [key, *tiebreak]
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        rid = int(g["__range"].iat[0])
+        path = os.path.join(out_dir, f"range={rid:05d}.parquet")
+        skipped = os.path.exists(path)
+        g = g.sort_values(cols, kind="stable").drop(columns="__range")
+        if not skipped:
+            atomic_write_parquet(pa.Table.from_pandas(g, preserve_index=False), path)
+        return pd.DataFrame(
+            [
+                {
+                    "range_id": rid,
+                    "path": path,
+                    "rows": len(g),
+                    "kmin": g[key].iloc[0],
+                    "kmax": g[key].iloc[-1],
+                    "skipped": skipped,
+                }
+            ]
+        )
+
+    man = tagged.groupby("__range").map_groups(write_range, batch_format="pandas").to_pandas()
+    return man.sort_values("range_id").reset_index(drop=True)

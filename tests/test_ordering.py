@@ -1,0 +1,70 @@
+"""Range-partitioned global ordering: exact ranks, sorted resumable export."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from teleharvest_ray.stages import ordering as od
+
+
+@pytest.fixture(scope="module")
+def skewed_df():
+    rng = np.random.default_rng(7)
+    n = 25_000
+    return pd.DataFrame(
+        {
+            "k": np.concatenate([rng.exponential(10.0, n - 500), np.full(500, 3.5)]),
+            "id": np.arange(n),
+        }
+    )
+
+
+def test_global_ranks_exact_with_ties(ray_session, skewed_df):
+    ds = rd.from_pandas(skewed_df).repartition(13)
+    out = od.global_ranks(ds, "k", ["id"], n_ranges=16).to_pandas()
+    exp = skewed_df.sort_values(["k", "id"], kind="stable").reset_index(drop=True)
+    got = out.sort_values("rk").reset_index(drop=True)
+    assert (got.rk.to_numpy() == np.arange(1, len(exp) + 1)).all()
+    assert (got.id.to_numpy() == exp.id.to_numpy()).all()  # full order matches
+
+
+def test_global_ranks_every_sampling(ray_session, skewed_df):
+    ds = rd.from_pandas(skewed_df)
+    out = od.global_ranks(ds, "k", ["id"], n_ranges=8, every=100).to_pandas()
+    assert (out.rk % 100 == 1).all()
+    assert len(out) == int(np.ceil(len(skewed_df) / 100))
+
+
+def test_export_sorted_ranges_order_and_resume(ray_session, skewed_df, tmp_path):
+    ds = rd.from_pandas(skewed_df).repartition(7)
+    out_dir = str(tmp_path / "sorted")
+    man = od.export_sorted_ranges(ds, "k", out_dir, n_ranges=10, tiebreak=["id"])
+    assert not man.skipped.any()
+    assert man.rows.sum() == len(skewed_df)
+    # cross-range ordering: every range's max <= next range's min
+    assert (man.kmax.to_numpy()[:-1] <= man.kmin.to_numpy()[1:]).all()
+    # within-range ordering + coverage
+    seen = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "range=*.parquet"))):
+        t = pq.read_table(p).to_pandas()
+        assert (np.diff(t.k.to_numpy()) >= 0).all()
+        seen.append(t)
+    allrows = pd.concat(seen, ignore_index=True)
+    assert set(allrows.id) == set(skewed_df.id)
+    # resume: delete one range, rerun — only it is rewritten
+    victim = man.path.iloc[3]
+    os.remove(victim)
+    mtimes = {p: os.path.getmtime(p) for p in man.path if p != victim}
+    man2 = od.export_sorted_ranges(ds, "k", out_dir, n_ranges=10, tiebreak=["id"])
+    assert man2.skipped.sum() == len(man2) - 1
+    assert os.path.exists(victim)
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m
