@@ -39,6 +39,11 @@ def main(argv=None):
     v.add_argument("--out", required=True)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--no-annotated", action="store_true")
+    v.add_argument(
+        "--skip-errors",
+        action="store_true",
+        help="isolate corrupt partitions (recorded + retried next run) instead of failing the run",
+    )
 
     g = sub.add_parser("gen", help="generate synthetic transcript data")
     g.add_argument("--out", required=True)
@@ -74,7 +79,12 @@ def main(argv=None):
             from teleharvest_ray.pipelines.validate import run_validation
 
             s = run_validation(
-                args.data, args.out, cfg, resume=not args.no_resume, write_annotated=not args.no_annotated
+                args.data,
+                args.out,
+                cfg,
+                resume=not args.no_resume,
+                write_annotated=not args.no_annotated,
+                on_error="skip" if args.skip_errors else "raise",
             )
             print(json.dumps(s, default=str))
         elif args.cmd == "refresh-similarity":

@@ -68,18 +68,56 @@ class PartitionValidator:
     (the A3/A4 load-once pattern — reference embedding model + published
     snapshot, ``services/embedding_service.py:15-16``, ``processor.py:58``)."""
 
-    def __init__(self, cfg: ValidationConfig, profile_ref, out_dir: str, write_annotated: bool):
+    def __init__(
+        self,
+        cfg: ValidationConfig,
+        profile_ref,
+        out_dir: str,
+        write_annotated: bool,
+        on_error: str = "raise",
+    ):
         self.cfg = cfg
         self.profile: ReferenceProfile = ray.get(profile_ref)
         self.out_dir = out_dir
         self.write_annotated = write_annotated
+        self.on_error = on_error
 
     def __call__(self, batch) -> pa.Table:
         records = []
         start_rows = batch["start_row"] if "start_row" in batch else [0] * len(batch["path"])
         for path, pid, sr in zip(batch["path"], batch["pid"], start_rows):
-            records.append(self._one(str(path), str(pid), int(sr)))
+            # poison-partition isolation: at target scale one corrupt file
+            # must not kill a multi-hour run — record the failure, keep going
+            # (the partition gets no checkpoint record, so the next run
+            # retries it)
+            if self.on_error == "skip":
+                try:
+                    records.append(self._one(str(path), str(pid), int(sr)))
+                except Exception as e:  # noqa: BLE001 — isolation boundary
+                    records.append(self._error_record(str(pid), str(path), e))
+            else:
+                records.append(self._one(str(path), str(pid), int(sr)))
         return pa.Table.from_pylist(records)
+
+    @staticmethod
+    def _error_record(pid: str, path: str, err: Exception) -> dict:
+        """Schema-complete failure record (same keys as a success record so
+        batches concatenate cleanly)."""
+        return {
+            "partition_id": pid,
+            "rows_scanned": 0,
+            "violations": 0,
+            "pass": False,
+            "sketch_state": b"",
+            "keyspace_conv_path": "",
+            "keyspace_blob": "",
+            "keyspace_digest": "",
+            "input_file": path,
+            "input_size": -1,
+            "input_mtime": -1.0,
+            "wall_s": 0.0,
+            "error": f"{type(err).__name__}: {err}",
+        }
 
     def _one(self, path: str, pid: str, start_row: int = 0) -> dict:
         """Validate rows ``[start_row, end)`` of the partition. ``start_row
@@ -247,6 +285,7 @@ class PartitionValidator:
             "input_size": st_pre.st_size,
             "input_mtime": st_pre.st_mtime,
             "wall_s": round(time.perf_counter() - t0, 4),
+            "error": "",
         }
 
 
@@ -270,12 +309,21 @@ def run_validation(
     concurrency: int | None = None,
     write_annotated: bool = True,
     capability_probe=None,
+    on_error: str = "raise",
 ) -> dict:
     """Validate every ``part-*.parquet`` under ``data_dir``; resumable.
 
     ``capability_probe``: optional zero-arg callable probed ONCE before the
     run; a failure/falsy result disables the scoring sub-chain for the whole
-    run (the reference's runtime credits gate)."""
+    run (the reference's runtime credits gate).
+
+    ``on_error="skip"``: poison-partition isolation — a partition whose scan
+    raises (corrupt file, bad footer) is recorded under
+    ``summary["partitions_error"]`` instead of killing the run; it gets NO
+    checkpoint record (so the next run retries it), its state is excluded
+    from the merged stats and global keyspace checks, and the global-check
+    digest covers only the validated set (fixing the file therefore forces a
+    global recompute). Default ``"raise"`` preserves fail-fast semantics."""
     cfg = cfg or ValidationConfig()
     if capability_probe is not None and not probe_scoring_capability(capability_probe):
         from dataclasses import replace
@@ -345,6 +393,7 @@ def run_validation(
         done.pop(p)
     n_resumed = len(files) - len(todo)
     new_records = []
+    errors: dict[str, str] = {}
     if todo:
         avail = int(ray.available_resources().get("CPU", 4))
         # actors sized to memory bandwidth, not vCPU count (see
@@ -353,7 +402,7 @@ def run_validation(
         ds = rd.from_items(todo)
         result = ds.map_batches(
             PartitionValidator,
-            fn_constructor_args=(cfg, profile_ref, out_dir, write_annotated),
+            fn_constructor_args=(cfg, profile_ref, out_dir, write_annotated, on_error),
             batch_size=1,
             concurrency=conc,
             num_cpus=cfg.validator_num_cpus if concurrency is None else 1.0,
@@ -362,6 +411,11 @@ def run_validation(
         # stream records into the checkpoint store as partitions finish
         for batch in result.iter_batches(batch_size=1, batch_format="pyarrow"):
             for rec in batch.to_pylist():
+                if rec.get("error"):
+                    # failed partition: surface it, write NO checkpoint
+                    # record (next run retries), keep the run going
+                    errors[rec["partition_id"]] = rec["error"]
+                    continue
                 store.write(rec["partition_id"], rec)
                 new_records.append(rec)
                 # the record is durable → superseded sidecar files can go
@@ -383,10 +437,15 @@ def run_validation(
             pass
 
     all_records = {**done, **{r["partition_id"]: r for r in new_records}}
+    # errored partitions contribute NO state anywhere downstream
+    good_pids = [p for p in pids if p in all_records]
+    good_files = [f for f, p in zip(files, pids) if p in all_records]
+    if not good_pids:
+        raise RuntimeError(f"every partition failed: {errors}")
 
     # merged global column stats (sketch union — associative)
     merged = None
-    for pid in pids:
+    for pid in good_pids:
         rec = all_records[pid]
         s = stats_from_bytes(rec["sketch_state"])
         merged = s if merged is None else merge_stats(merged, s)
@@ -402,13 +461,13 @@ def run_validation(
     # just the partition count — a replaced same-count partition set must
     # recompute the global checks
     dig = _hashlib.sha256()
-    for pid in pids:
+    for pid in good_pids:
         rec = all_records[pid]
         dig.update(pid.encode())
         dig.update((rec.get("keyspace_digest") or "").encode())
     global_digest = dig.hexdigest()
     if grec is None or grec.get("digest") != global_digest:
-        turns = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+        turns = rd.read_parquet(good_files, columns=["conv_id", "turn_idx"])
         conv_index_path = os.path.join(data_dir, "conversations.parquet")
         if not os.path.exists(conv_index_path):
             known = []
@@ -420,13 +479,13 @@ def run_validation(
             known = pq.read_table(conv_index_path)["conv_id"].to_pylist()
         usable = [
             pid
-            for pid in pids
+            for pid in good_pids
             if all_records[pid].get("keyspace_conv_path")
             and os.path.exists(all_records[pid]["keyspace_conv_path"])
             and all_records[pid].get("keyspace_blob")
             and os.path.exists(all_records[pid]["keyspace_blob"])
         ]
-        if len(usable) == len(pids):
+        if len(usable) == len(good_pids):
             # both halves of the keyspace state stay on disk: blob PATHS go
             # to the range-merge tasks, and the conv partial sidecars stream
             # through a distributed groupby — the driver sees only candidates.
@@ -434,8 +493,8 @@ def run_validation(
             # a Ray groupby costs seconds of fixed overhead that dwarfs a
             # small pandas merge (same dispatch pattern as embedding_near_dup;
             # equivalence of the two paths is test-asserted).
-            blobs = [all_records[pid]["keyspace_blob"] for pid in pids]
-            conv_paths = [all_records[pid]["keyspace_conv_path"] for pid in pids]
+            blobs = [all_records[pid]["keyspace_blob"] for pid in good_pids]
+            conv_paths = [all_records[pid]["keyspace_conv_path"] for pid in good_pids]
             n_partial_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in conv_paths)
             if n_partial_rows < 2_000_000:
                 summ = merge_conv_partials([pq.read_table(p).to_pandas() for p in conv_paths])
@@ -448,7 +507,7 @@ def run_validation(
         atomic_write_parquet(gvio, os.path.join(out_dir, "violations", "_global.parquet"))
         store.write(
             gkey,
-            {"partition_id": gkey, "n_partitions": len(files), "digest": global_digest, "violations": gvio.num_rows},
+            {"partition_id": gkey, "n_partitions": len(good_files), "digest": global_digest, "violations": gvio.num_rows},
         )
         g_violations = gvio.num_rows
     else:
@@ -462,7 +521,8 @@ def run_validation(
         "rows_scanned": int(sum(r["rows_scanned"] for r in all_records.values())),
         "violations_partition_local": per_part_violations,
         "violations_global": int(g_violations),
-        "partitions_failed": [p for p in pids if not all_records[p]["pass"]],
+        "partitions_failed": [p for p in good_pids if not all_records[p]["pass"]],
+        "partitions_error": errors,
         "column_stats": stats_summary(merged) if merged else None,
         "out_dir": out_dir,
     }

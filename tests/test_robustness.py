@@ -95,3 +95,39 @@ def test_er_exemption_is_file_local_across_row_groups(ray_session, tmp_path):
     low_er = vio[vio.check_id == "low_engagement"]
     # rows 0..4 flagged (all low ER at volume), row 5 (file-local last) exempt
     assert set(low_er.turn_idx) == {0, 1, 2, 3, 4}
+
+
+def test_poison_partition_isolated_and_retried(ray_session, tmp_path):
+    """on_error='skip': a corrupt partition is reported, everything else
+    validates; fixing the file and re-running recovers the full manifest."""
+    d, o = str(tmp_path / "poison"), str(tmp_path / "poison_out")
+    generate(d, GenSpec(n_convs=60, n_files=4, seed=23, hot_conv=True))
+    files = sorted(glob.glob(d + "/part-*.parquet"))
+    victim = files[1]
+    original = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file at all")
+
+    # fail-fast default still raises
+    with pytest.raises(Exception):
+        run_validation(d, str(tmp_path / "raise_out"), ValidationConfig(), write_annotated=False)
+
+    s1 = run_validation(d, o, ValidationConfig(), write_annotated=False, on_error="skip")
+    assert list(s1["partitions_error"]) == ["part-00001"]
+    assert s1["n_partitions"] == 4 and s1["rows_scanned"] > 0
+    # no checkpoint record for the poisoned partition -> retried on resume
+    from teleharvest_ray.state.checkpoint import CheckpointStore
+
+    assert "part-00001" not in CheckpointStore(os.path.join(o, "checkpoints")).completed()
+
+    # fix the file; resume validates ONLY it and recovers the exact manifest
+    with open(victim, "wb") as fh:
+        fh.write(original)
+    s2 = run_validation(d, o, ValidationConfig(), write_annotated=False, on_error="skip")
+    assert s2["partitions_error"] == {}
+    assert s2["n_validated_now"] == 1 and s2["n_resumed"] == 3
+    got = read_violations(o)[["conv_id", "turn_idx", "check_id"]].drop_duplicates()
+    exp = pq.read_table(os.path.join(d, "expected_violations.parquet")).to_pandas()[
+        ["conv_id", "turn_idx", "check_id"]
+    ].drop_duplicates()
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
