@@ -2132,3 +2132,112 @@ ORACLE_SQL["q_sorted_ranks"] = """
       FROM lineitem)
     WHERE rk % 997 = 1 ORDER BY rk
 """
+
+
+#: declarative domain constraints over lineitem: name -> vectorized predicate
+#: flagging VIOLATIONS (the checks.py registry idea applied to an arbitrary
+#: parquet table; bounds chosen so some constraints pass clean and some fire)
+_DOMAIN_CHECKS = {
+    "quantity_in_1_45": lambda t: pc.greater(t["l_quantity"], 45.0),
+    "discount_in_0_008": lambda t: pc.greater(t["l_discount"], 0.08),
+    "price_positive": lambda t: pc.less_equal(t["l_extendedprice"], 0.0),
+    "shipdate_before_1998": lambda t: pc.greater_equal(
+        t["l_shipdate"], pa.scalar(np.datetime64("1998-01-01", "us"))
+    ),
+}
+
+
+def q_domain_checks(sf_dir: str) -> pd.DataFrame:
+    """Declarative domain/range constraint check over an arbitrary parquet
+    table (the north_rule's column-constraint family beyond the transcript
+    chain): each constraint is a vectorized Arrow predicate; per-batch
+    violation counts reduce through one tiny aggregate — a data-sized scan,
+    constraint-count-sized everything else."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_discount", "l_extendedprice", "l_shipdate"],
+    )
+    names = sorted(_DOMAIN_CHECKS)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        counts = [
+            int(pc.sum(_DOMAIN_CHECKS[n](tbl)).as_py() or 0) for n in names
+        ]
+        return pa.table(
+            {"check_name": pa.array(names), "n_violations": pa.array(counts, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("check_name")
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+        .to_pandas()
+    )
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("check_name").reset_index(drop=True)[
+        ["check_name", "n_violations"]
+    ]
+
+
+QUERIES["q_domain_checks"] = q_domain_checks
+ORACLE_SQL["q_domain_checks"] = """
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      SELECT 'quantity_in_1_45' AS check_name,
+             SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS n_violations FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_0_008',
+             SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) FROM lineitem
+      UNION ALL
+      SELECT 'price_positive',
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      UNION ALL
+      SELECT 'shipdate_before_1998',
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) FROM lineitem
+    ) ORDER BY check_name
+"""
+
+
+def q_null_report(sf_dir: str) -> pd.DataFrame:
+    """Per-column completeness report over events (null count + row count per
+    column) — the column-stats null-rate check as a standalone, oracle-exact
+    query. Per-batch Arrow null counts (metadata-cheap: Arrow tracks null
+    counts per array) reduce through one tiny aggregate."""
+    ds = rd.read_parquet(_p(sf_dir, "events"))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cols = sorted(tbl.column_names)
+        return pa.table(
+            {
+                "col_name": pa.array(cols),
+                "n_null": pa.array([tbl[c].null_count for c in cols], pa.int64()),
+                "n_rows": pa.array([tbl.num_rows] * len(cols), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("col_name")
+        .aggregate(Sum("n_null", alias_name="n_null"), Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+    )
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)[["col_name", "n_null", "n_rows"]]
+
+
+QUERIES["q_null_report"] = q_null_report
+ORACLE_SQL["q_null_report"] = """
+    WITH t AS (SELECT COUNT(*) AS n,
+                      COUNT(event_id) AS c_event_id, COUNT(ts) AS c_ts,
+                      COUNT(user_id) AS c_user_id, COUNT(event_type) AS c_event_type,
+                      COUNT(value) AS c_value, COUNT(props) AS c_props
+               FROM events)
+    SELECT col_name, CAST(n_null AS BIGINT) AS n_null, CAST(n_rows AS BIGINT) AS n_rows FROM (
+      SELECT 'event_id' AS col_name, n - c_event_id AS n_null, n AS n_rows FROM t
+      UNION ALL SELECT 'ts', n - c_ts, n FROM t
+      UNION ALL SELECT 'user_id', n - c_user_id, n FROM t
+      UNION ALL SELECT 'event_type', n - c_event_type, n FROM t
+      UNION ALL SELECT 'value', n - c_value, n FROM t
+      UNION ALL SELECT 'props', n - c_props, n FROM t
+    ) ORDER BY col_name
+"""
