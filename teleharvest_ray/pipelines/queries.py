@@ -250,7 +250,12 @@ def q_column_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_hll_accuracy(sf_dir: str) -> pd.DataFrame:
-    """HLL approx-distinct vs exact (rows-only; deterministic sketch)."""
+    """HLL approx-distinct certified against the exact count. Oracle-backed:
+    ``n_exact`` is the SQL COUNT(DISTINCT); ``within_3sigma`` asserts the
+    merged sketch's relative error is inside 3x its published standard error
+    (1.04/sqrt(2^p) = 0.81% at p=14, so the bound is 2.44%) — the oracle pins
+    it TRUE, making an out-of-bound sketch a hash mismatch, not a silent
+    degradation."""
     ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
 
     def sketch(tbl: pa.Table) -> pa.Table:
@@ -266,9 +271,8 @@ def q_hll_accuracy(sf_dir: str) -> pd.DataFrame:
     # (block-metadata sum) — no driver-side distinct-key collection
     exact = ds.groupby("l_orderkey").aggregate(Count(alias_name="c")).count()
     est = merged.estimate()
-    return pd.DataFrame(
-        [{"exact": exact, "estimate": round(est, 1), "rel_err": round(abs(est - exact) / exact, 4)}]
-    )
+    ok = abs(est - exact) / exact <= 3 * 1.04 / np.sqrt(2**14)
+    return pd.DataFrame([{"n_exact": np.int64(exact), "within_3sigma": np.int64(ok)}])
 
 
 # ---------------------------------------------------------------------------
@@ -2240,4 +2244,11 @@ ORACLE_SQL["q_null_report"] = """
       UNION ALL SELECT 'value', n - c_value, n FROM t
       UNION ALL SELECT 'props', n - c_props, n FROM t
     ) ORDER BY col_name
+"""
+
+
+ORACLE_SQL["q_hll_accuracy"] = """
+    SELECT COUNT(DISTINCT l_orderkey) AS n_exact,
+           CAST(1 AS BIGINT) AS within_3sigma
+    FROM lineitem
 """
