@@ -68,3 +68,32 @@ def test_export_sorted_ranges_order_and_resume(ray_session, skewed_df, tmp_path)
     assert os.path.exists(victim)
     for p, m in mtimes.items():
         assert os.path.getmtime(p) == m
+
+
+def test_segmented_rank_kernel_properties(ray_session):
+    """Randomized inputs (duplicates, skew, negative keys): the distributed
+    rank assignment must equal a single-node stable lexsort for every seed."""
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 5_000))
+        df = pd.DataFrame(
+            {
+                # heavy duplication: keys drawn from a tiny alphabet
+                "k": rng.choice(np.array([-2.5, 0.0, 1e-9, 7.25]), n),
+                "id": rng.permutation(n),
+            }
+        )
+        got = (
+            od.global_ranks(
+                rd.from_pandas(df).repartition(int(rng.integers(1, 9))),
+                "k",
+                ["id"],
+                n_ranges=int(rng.integers(2, 12)),
+            )
+            .to_pandas()
+            .sort_values("rk")
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["k", "id"], kind="stable").reset_index(drop=True)
+        assert (got.id.to_numpy() == exp.id.to_numpy()).all(), f"seed={seed}"
+        assert (got.rk.to_numpy() == np.arange(1, n + 1)).all(), f"seed={seed}"
