@@ -45,6 +45,16 @@ def main(argv=None):
         help="isolate corrupt partitions (recorded + retried next run) instead of failing the run",
     )
 
+    sc = sub.add_parser(
+        "schema-check", help="footer-only schema drift report (contract or majority-consistency)"
+    )
+    sc.add_argument("--data", required=True)
+    sc.add_argument(
+        "--contract",
+        action="store_true",
+        help="diff every file against the transcript contract schema instead of the majority schema",
+    )
+
     g = sub.add_parser("gen", help="generate synthetic transcript data")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -87,6 +97,14 @@ def main(argv=None):
                 on_error="skip" if args.skip_errors else "raise",
             )
             print(json.dumps(s, default=str))
+        elif args.cmd == "schema-check":
+            from teleharvest_ray.schema import TRANSCRIPT_FULL_SCHEMA
+            from teleharvest_ray.stages.schema_check import schema_report
+
+            rep = schema_report(
+                args.data, TRANSCRIPT_FULL_SCHEMA if args.contract else None
+            )
+            print(rep.to_json(orient="records"))
         elif args.cmd == "refresh-similarity":
             import pyarrow.parquet as pq
 

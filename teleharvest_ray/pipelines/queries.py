@@ -2252,3 +2252,31 @@ ORACLE_SQL["q_hll_accuracy"] = """
            CAST(1 AS BIGINT) AS within_3sigma
     FROM lineitem
 """
+
+
+def q_schema_report(sf_dir: str) -> pd.DataFrame:
+    """Footer-only schema-contract check (stages/schema_check.py) over the
+    synthetic transcript corpus: every partition diffs against the transcript
+    contract AND the majority-consistency election. Rows-only (metadata-level
+    — no SQL analog); the deviation-detection paths are pinned by
+    tests/test_schema_check.py."""
+    from ..schema import TRANSCRIPT_FULL_SCHEMA
+    from ..stages.schema_check import schema_report
+
+    data = synth_transcripts(sf_dir)
+    contract = schema_report(data, TRANSCRIPT_FULL_SCHEMA)
+    consistency = schema_report(data)
+    import glob as _glob
+
+    return pd.DataFrame(
+        [
+            {
+                "n_files": len(_glob.glob(os.path.join(data, "part-*.parquet"))),
+                "contract_issues": len(contract),
+                "consistency_issues": len(consistency),
+            }
+        ]
+    )
+
+
+QUERIES["q_schema_report"] = q_schema_report
