@@ -42,8 +42,12 @@ import ray.data as rd
 from ..functions.hashing import hash_key
 from ..state.checkpoint import atomic_write_parquet
 
-#: check ids that are partition-scoped, not row-scoped — never quarantine on them
-_PARTITION_SCOPED = ("drift",)
+from ..checks import REGISTRY
+
+#: check ids that are partition-scoped, not row-scoped — never quarantine on
+#: them (derived from the registry so a new partition-scoped check can never
+#: silently leak into the quarantine keyset)
+_PARTITION_SCOPED = tuple(c.id for c in REGISTRY.values() if c.stage == "partition")
 
 
 def violation_keyset(out_dir: str) -> tuple[np.ndarray, pd.DataFrame]:
@@ -110,6 +114,30 @@ def export_quarantine(data_dir: str, out_dir: str, export_dir: str) -> dict:
     os.makedirs(os.path.join(export_dir, "clean"), exist_ok=True)
     os.makedirs(os.path.join(export_dir, "quarantine"), exist_ok=True)
     bad_keys, bad_df = violation_keyset(out_dir)
+
+    # staleness gate: existing outputs may only be skipped if they were
+    # derived from THIS violation set — a re-validated corpus (new violation
+    # rows) silently leaving newly-flagged rows in clean/ would corrupt the
+    # training corpus. The manifest pins a digest of the sorted keyset; a
+    # mismatch invalidates every prior output.
+    import hashlib as _hashlib
+    import json as _json
+
+    keyset_digest = _hashlib.sha256(bad_keys.tobytes()).hexdigest()
+    man_path = os.path.join(export_dir, "MANIFEST.json")
+    prior_digest = None
+    if os.path.exists(man_path):
+        try:
+            prior_digest = _json.load(open(man_path)).get("keyset_digest")
+        except Exception:
+            prior_digest = None
+    if prior_digest != keyset_digest:
+        for sub in ("clean", "quarantine"):
+            for stale in glob.glob(os.path.join(export_dir, sub, "*.parquet")):
+                os.unlink(stale)
+    with open(man_path, "w") as fh:
+        _json.dump({"keyset_digest": keyset_digest, "out_dir": out_dir}, fh)
+
     bad_ref = ray.put((bad_keys, bad_df))
 
     def one(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1852,14 +1852,14 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
 def _stratified_sample_sql() -> str:
     cases = " ".join(
-        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(_STRAT_RATES.items())
+        f"WHEN '{k}' THEN {round(v * 1_000_000)}" for k, v in sorted(_STRAT_RATES.items())
     )
     return (
         _splitmix_cte("events", "event_id", ["event_type", "event_id"], _STRAT_SEED)
         + f"""
     SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
     FROM h
-    WHERE r < CASE event_type {cases} ELSE {int(_STRAT_DEFAULT * 1_000_000)} END
+    WHERE r < CASE event_type {cases} ELSE {round(_STRAT_DEFAULT * 1_000_000)} END
     GROUP BY event_type ORDER BY event_type
     """
     )

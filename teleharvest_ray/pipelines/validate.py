@@ -343,11 +343,23 @@ def run_validation(
         store.clear()
         done = {}
 
-    # Reference profile: the designated reference partition is the first file
-    # (deterministic; configurable by convention). Only the three needed
-    # columns leave disk.
-    ref_tbl = pq.read_table(files[0], columns=["text", "role", "tool"])
-    profile = build_profile(ref_tbl, cfg)
+    # Reference profile: the designated reference partition is the first
+    # READABLE file (deterministic; configurable by convention). Only the
+    # three needed columns leave disk. Under on_error="skip" a corrupt first
+    # file must not kill the run here on the driver any more than in an
+    # actor — fall through to the next file (the corrupt one still surfaces
+    # in partitions_error when its scan task runs).
+    profile = None
+    for ref_path in files:
+        try:
+            ref_tbl = pq.read_table(ref_path, columns=["text", "role", "tool"])
+            profile = build_profile(ref_tbl, cfg)
+            break
+        except Exception:
+            if on_error != "skip":
+                raise
+    if profile is None:
+        raise RuntimeError(f"no readable partition to build the reference profile under {data_dir}")
     profile_ref = ray.put(profile)
 
     # Work list. A partition with a record can still need work when the file
@@ -357,6 +369,7 @@ def run_validation(
     # state. A shrunk/replaced file falls back to full revalidation. The
     # growth probe is a footer-only read per already-validated file.
     todo = []
+    errors: dict[str, str] = {}
     for f, p in zip(files, pids):
         rec = done.get(p)
         if rec is None:
@@ -367,7 +380,14 @@ def run_validation(
         st = os.stat(f)
         if rec.get("input_size") == st.st_size and rec.get("input_mtime") == st.st_mtime:
             continue
-        n_now = pq.ParquetFile(f).metadata.num_rows
+        try:
+            n_now = pq.ParquetFile(f).metadata.num_rows
+        except Exception as e:  # changed file now unreadable — same isolation
+            if on_error != "skip":
+                raise
+            errors[p] = f"{type(e).__name__}: {e}"
+            done.pop(p)
+            continue
         n_rec = int(rec.get("rows_scanned", 0))
         if n_now == n_rec:
             # size/mtime moved but row count matches: the file was REPLACED
@@ -391,9 +411,8 @@ def run_validation(
         start = n_rec if (n_now > n_rec and has_state) else 0
         todo.append({"path": f, "pid": p, "start_row": start})
         done.pop(p)
-    n_resumed = len(files) - len(todo)
+    n_resumed = len(files) - len(todo) - len(errors)
     new_records = []
-    errors: dict[str, str] = {}
     if todo:
         avail = int(ray.available_resources().get("CPU", 4))
         # actors sized to memory bandwidth, not vCPU count (see
@@ -466,7 +485,17 @@ def run_validation(
         dig.update(pid.encode())
         dig.update((rec.get("keyspace_digest") or "").encode())
     global_digest = dig.hexdigest()
-    if grec is None or grec.get("digest") != global_digest:
+    if errors:
+        # global referential checks (dup/seq/orphan) are only meaningful over
+        # the FULL corpus: a conversation split across a good and an errored
+        # partition would otherwise emit false seq_gap/orphan rows and
+        # persist them. Skip the phase entirely; the digest (over good
+        # partitions only) changes once the failed file validates, which
+        # forces the recompute then. Any _global.parquet on disk is from the
+        # last complete run — global_checks_skipped flags that staleness.
+        g_violations = 0
+        global_checks_skipped = True
+    elif grec is None or grec.get("digest") != global_digest:
         turns = rd.read_parquet(good_files, columns=["conv_id", "turn_idx"])
         conv_index_path = os.path.join(data_dir, "conversations.parquet")
         if not os.path.exists(conv_index_path):
@@ -510,17 +539,20 @@ def run_validation(
             {"partition_id": gkey, "n_partitions": len(good_files), "digest": global_digest, "violations": gvio.num_rows},
         )
         g_violations = gvio.num_rows
+        global_checks_skipped = False
     else:
         g_violations = grec["violations"]
+        global_checks_skipped = False
 
     per_part_violations = int(sum(r["violations"] for r in all_records.values() if r["partition_id"] != gkey))
     summary = {
         "n_partitions": len(files),
         "n_resumed": n_resumed,
-        "n_validated_now": len(todo),
+        "n_validated_now": len(new_records),
         "rows_scanned": int(sum(r["rows_scanned"] for r in all_records.values())),
         "violations_partition_local": per_part_violations,
         "violations_global": int(g_violations),
+        "global_checks_skipped": global_checks_skipped,
         "partitions_failed": [p for p in good_pids if not all_records[p]["pass"]],
         "partitions_error": errors,
         "column_stats": stats_summary(merged) if merged else None,

@@ -78,7 +78,10 @@ def hash_split(
     bounds = np.cumsum([fractions[n] for n in names])
     if not np.isclose(bounds[-1], 1.0):
         raise ValueError(f"fractions must sum to 1, got {bounds[-1]}")
-    edges = (bounds * float(_RES)).astype(np.uint64)
+    # rint, not truncation — every sampling cut in this module (and the SQL
+    # oracle generators) derives as round(fraction * RES) so the same
+    # fraction always maps to the same integer cut everywhere
+    edges = np.rint(bounds * float(_RES)).astype(np.uint64)
     edges[-1] = _RES  # close the last bucket against float rounding
     names_arr = np.asarray(names, dtype=object)
 
@@ -92,8 +95,10 @@ def hash_split(
 
 def bernoulli_sample(ds: Dataset, key_col: str, p: float, seed: int = 131) -> Dataset:
     """Keep each row iff its keyed hash falls under ``p`` — a deterministic,
-    shuffle-free streaming sample (same row always makes the same decision)."""
-    cut = np.uint64(int(p * float(_RES)))
+    shuffle-free streaming sample (same row always makes the same decision).
+    The cut rounds (like every other sampling site) so the same ``p`` maps to
+    the same integer cut as stratified_sample and the SQL oracles."""
+    cut = np.uint64(round(p * float(_RES)))
 
     def keep(tbl: pa.Table) -> pa.Table:
         h = _key_hash_u64(tbl[key_col], seed) % _RES

@@ -97,7 +97,11 @@ def schema_report(
         def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
             rows = []
             for f in batch["path"]:
-                s = _footer_schema(f)
+                # metadata-stripped: writer metadata (pandas index info,
+                # library versions) varies across writers of IDENTICAL field
+                # schemas — fingerprinting it would split the true majority
+                # and could elect a minority (drifted) field schema
+                s = _footer_schema(f).remove_metadata()
                 rows.append({"path": f, "fp": s.serialize().to_pybytes().hex()})
             return pd.DataFrame(rows)
 
@@ -106,7 +110,8 @@ def schema_report(
             .map_batches(fingerprint, batch_format="pandas")
             .to_pandas()
         )
-        majority_fp = Counter(fps.fp).most_common(1)[0][0]
+        # deterministic election: highest count, fingerprint as tie-break
+        majority_fp = min(Counter(fps.fp).items(), key=lambda kv: (-kv[1], kv[0]))[0]
         expected = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(majority_fp)))
         deviants = fps.loc[fps.fp != majority_fp, "path"].tolist()
         if not deviants:

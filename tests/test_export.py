@@ -84,3 +84,34 @@ def test_export_no_violations_everything_clean(ray_session, tmp_path):
     res = export_quarantine(data, out, str(tmp_path / "exp"))
     clean = _read_dir(str(tmp_path / "exp" / "clean"))
     assert res["rows"] == len(clean)
+
+
+def test_export_invalidated_by_new_violations(validated, tmp_path):
+    """A changed violation set must invalidate prior exports: otherwise a
+    re-validated corpus leaves newly-flagged rows in clean/."""
+    root, data, out = validated
+    exp_dir = str(tmp_path / "stale")
+    export_quarantine(data, out, exp_dir)
+    # simulate a re-validation that flags one MORE row: append a violation
+    # for a currently-clean row to a partition's violation file
+    clean = _read_dir(os.path.join(exp_dir, "clean"))
+    victim = clean.iloc[0]
+    vf = os.path.join(out, "violations", "part-00000.parquet")
+    import pyarrow as pa
+
+    extra = pd.DataFrame(
+        [{"conv_id": victim.conv_id, "turn_idx": victim.turn_idx,
+          "check_id": "stop_word", "detail": "injected"}]
+    )
+    old = pq.read_table(vf).to_pandas()
+    merged = pd.concat([old, extra.astype(old.dtypes.to_dict())], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), vf)
+
+    res = export_quarantine(data, out, exp_dir)
+    assert res["n_skipped"] == 0  # digest mismatch invalidated every output
+    quar2 = _read_dir(os.path.join(exp_dir, "quarantine"))
+    assert (victim.conv_id, victim.turn_idx) in set(
+        map(tuple, quar2[["conv_id", "turn_idx"]].to_numpy())
+    )
+    clean2 = _read_dir(os.path.join(exp_dir, "clean"))
+    assert len(clean2) == len(clean) - 1

@@ -131,3 +131,30 @@ def test_poison_partition_isolated_and_retried(ray_session, tmp_path):
         ["conv_id", "turn_idx", "check_id"]
     ].drop_duplicates()
     assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
+
+
+def test_poison_first_partition_profile_fallback(ray_session, tmp_path):
+    """on_error='skip' must survive a corrupt FIRST file too: the reference
+    profile falls through to the next readable partition, and the global
+    keyspace checks are skipped (not computed over a partial corpus)."""
+    d, o = str(tmp_path / "p0"), str(tmp_path / "p0_out")
+    generate(d, GenSpec(n_convs=40, n_files=3, seed=29, hot_conv=True))
+    files = sorted(glob.glob(d + "/part-*.parquet"))
+    original = open(files[0], "rb").read()
+    with open(files[0], "wb") as fh:
+        fh.write(b"garbage")
+    s = run_validation(d, o, ValidationConfig(), write_annotated=False, on_error="skip")
+    assert list(s["partitions_error"]) == ["part-00000"]
+    assert s["global_checks_skipped"] is True
+    assert s["violations_global"] == 0  # never computed over a partial corpus
+    assert s["n_validated_now"] == 2
+    # fix + rerun: full manifest recovered, global checks recomputed
+    with open(files[0], "wb") as fh:
+        fh.write(original)
+    s2 = run_validation(d, o, ValidationConfig(), write_annotated=False, on_error="skip")
+    assert s2["partitions_error"] == {} and s2["global_checks_skipped"] is False
+    got = read_violations(o)[["conv_id", "turn_idx", "check_id"]].drop_duplicates()
+    exp = pq.read_table(os.path.join(d, "expected_violations.parquet")).to_pandas()[
+        ["conv_id", "turn_idx", "check_id"]
+    ].drop_duplicates()
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))

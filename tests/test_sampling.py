@@ -187,3 +187,14 @@ def test_stratified_sample_matches_bernoulli_when_uniform(ray_session, ids_df):
     ).to_pandas()
     bern = sp.bernoulli_sample(rd.from_pandas(df), "doc_id", 0.2, seed=131).to_pandas()
     assert set(strat.doc_id) == set(bern.doc_id)
+
+
+def test_cut_rounding_consistent_for_inexact_rates(ray_session, ids_df):
+    """A rate like 1/6 (fractional r*1e6) must map to the SAME integer cut in
+    stratified and bernoulli sampling — the latent truncation-vs-round
+    divergence the review flagged."""
+    df = ids_df.assign(cls="only")
+    p = 1 / 6
+    strat = sp.stratified_sample(rd.from_pandas(df), "cls", "doc_id", {"only": p}, seed=131).to_pandas()
+    bern = sp.bernoulli_sample(rd.from_pandas(df), "doc_id", p, seed=131).to_pandas()
+    assert set(strat.doc_id) == set(bern.doc_id)

@@ -56,3 +56,28 @@ def test_schema_diff_unit():
     b = pa.schema([("x", pa.int64()), ("z", pa.float64())])
     kinds = {(i["issue"], i["column"]) for i in schema_diff(a, b)}
     assert kinds == {("type_mismatch", "x"), ("missing_column", "z"), ("extra_column", "y")}
+
+
+def test_majority_election_ignores_writer_metadata(ray_session, tmp_path):
+    """Files with IDENTICAL field schemas but different writer metadata must
+    count as one majority; a minority drifted field schema must lose."""
+    import pandas as pd
+
+    d = tmp_path / "meta"
+    d.mkdir()
+    base = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    # two metadata flavors of the SAME field schema
+    pq.write_table(pa.Table.from_pandas(base), str(d / "part-00000.parquet"))
+    plain = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"])})
+    pq.write_table(plain, str(d / "part-00001.parquet"))
+    meta = plain.replace_schema_metadata({"writer": "other"})
+    pq.write_table(meta, str(d / "part-00002.parquet"))
+    # minority drift: a widened column, two copies (would win if metadata
+    # split the true majority 1/1/1)
+    bad = pa.table({"a": pa.array([1, 2], pa.int32()), "b": pa.array(["x", "y"])})
+    pq.write_table(bad, str(d / "part-00003.parquet"))
+    pq.write_table(bad, str(d / "part-00004.parquet"))
+
+    rep = schema_report(str(d))
+    assert set(rep.file) == {"part-00003.parquet", "part-00004.parquet"}
+    assert (rep.issue == "type_mismatch").all()
