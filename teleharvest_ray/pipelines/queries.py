@@ -2280,3 +2280,57 @@ def q_schema_report(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q_schema_report"] = q_schema_report
+
+
+def q_kll_quantile_by_type(sf_dir: str) -> pd.DataFrame:
+    """Certified approximate per-group quantiles: a KLL sketch per event_type
+    built from per-batch partials (merge is associative — sketch-sized blobs
+    are all that leave the scan), then ONE more pruned pass computes the
+    EXACT rank of each estimate, and the oracle pins the certificate: the
+    p95 estimate's true rank must sit within 5% of target. The estimate
+    itself is not SQL-expressible; its rank-error bound is."""
+    from ..functions.sketches import KLLSketch
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def sk(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            s = KLLSketch(k=400)
+            s.update(g["value"].to_numpy())
+            rows.append({"event_type": t, "blob": s.to_bytes()})
+        return pd.DataFrame(rows)
+
+    merged: dict[str, KLLSketch] = {}
+    for r in ds.map_batches(sk, batch_format="pandas").to_pandas().itertuples():
+        s = KLLSketch.from_bytes(r.blob)
+        merged[r.event_type] = s if r.event_type not in merged else merged[r.event_type].merge(s)
+    est = {t: s.quantile(0.95) for t, s in merged.items()}
+    est_ref = _ray.put(est)
+
+    def rankcount(df: pd.DataFrame) -> pd.DataFrame:
+        e = _ray.get(est_ref)
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy()
+            rows.append({"event_type": t, "n_le": int((v <= e[t]).sum()), "n": len(v)})
+        return pd.DataFrame(rows)
+
+    rc = (
+        ds.map_batches(rankcount, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_le", alias_name="n_le"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rc["p95_rank_ok"] = (np.abs(rc["n_le"] / rc["n"] - 0.95) <= 0.05).astype("int64")
+    rc["n"] = rc["n"].astype("int64")
+    return rc.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "n", "p95_rank_ok"]
+    ]
+
+
+QUERIES["q_kll_quantile_by_type"] = q_kll_quantile_by_type
+ORACLE_SQL["q_kll_quantile_by_type"] = """
+    SELECT event_type, COUNT(*) AS n, CAST(1 AS BIGINT) AS p95_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
