@@ -88,15 +88,48 @@ class LangIdStage:
         return batch
 
 
+#: polynomial base for the content fingerprint — small enough that every
+#: (code_point * B^k mod 2^64) term fits an INT128, which is what lets the
+#: DuckDB oracle reproduce the hash bit-exactly (queries.py q_fingerprint)
+FP_BASE = 1000003
+
+
 def fingerprint64(tbl: pa.Table, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
-    """64-bit content fingerprint of whitespace-normalized lowercase text
-    (rolling-hash style via stable string hash of the normalized form)."""
+    """64-bit content fingerprint of whitespace-normalized lowercase text.
+
+    Classic polynomial rolling hash over code points —
+    ``h = sum(cp_j * B^(L-1-j)) mod 2^64`` — finished with splitmix64. The
+    polynomial form (not SipHash) is deliberate: every step is 64-bit
+    wraparound arithmetic, so the exact hash is SQL-expressible and
+    q_fingerprint is oracle-verified value-by-value. Null text maps to a
+    null fingerprint. Vectorized: one utf-32 decode of the concatenated
+    batch + a segmented sum; the only scalar loop is the max-doc-length
+    power table."""
     norm = pc.utf8_lower(tbl[text_col])
     norm = pc.replace_substring_regex(norm, pattern=r"\s+", replacement=" ")
     norm = pc.utf8_trim_whitespace(norm)
-    h = hash_strings(np.asarray(norm.to_pandas(), dtype=object))
+    s = norm.to_pandas()
+    mask = s.isna().to_numpy()
+    texts = ["" if m else t for t, m in zip(s.tolist(), mask)]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    h = np.zeros(len(texts), dtype=np.uint64)
+    if cps.size:
+        maxlen = int(lens.max())
+        pows = np.empty(maxlen, dtype=np.uint64)
+        pows[0] = 1
+        b = np.uint64(FP_BASE)
+        with np.errstate(over="ignore"):
+            for k in range(1, maxlen):
+                pows[k] = pows[k - 1] * b
+            ends = np.cumsum(lens)
+            # coefficient for flat position p of segment s is B^(end_s-1-p)
+            idx = np.repeat(ends, lens) - 1 - np.arange(cps.size)
+            prods = cps * pows[idx]
+            nz = lens > 0
+            h[nz] = np.add.reduceat(prods, (ends - lens)[nz])
     h = splitmix64(h)
-    return tbl.append_column(out_col, pa.array(h.astype(np.int64)))
+    return tbl.append_column(out_col, pa.array(h.view(np.int64), pa.int64(), mask=mask))
 
 
 #: RE2 patterns shared verbatim with the DuckDB oracle (both engines are
