@@ -459,17 +459,30 @@ def q_exact_text_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH candidates verified with exact word-3gram Jaccard ≥ 0.4
-    (rows-only: fixed-seed hashing not SQL-expressible)."""
+    """MinHash+LSH candidates verified with exact word-3gram Jaccard ≥ 0.8.
+
+    Oracle-backed: the output is exactly the set of near-dup pairs, so the
+    SQL oracle recomputes ALL pairs with exact gram Jaccard ≥ 0.8 — a
+    recall miss becomes a row-count mismatch. The banding is sized so that
+    is sound: at 32 bands x 2 rows a J=0.8 pair escapes every band with
+    probability (1-0.8^2)^32 ≈ 5e-15 (and the corpus' weakest true pair
+    measures J=0.888); docs with fewer than 3 tokens are excluded on both
+    sides (no shingles — only they could pair without sharing a gram)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    cands = dd.minhash_lsh_candidates(ds, "text", "doc_id")
+
+    def shingleable(tbl: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(tbl["text"], pattern=r"\S+")
+        return tbl.filter(pc.greater_equal(pc.fill_null(n_tok, 0), 3))
+
+    ds = ds.map_batches(shingleable, batch_format="pyarrow", batch_size=None)
+    cands = dd.minhash_lsh_candidates(ds, "text", "doc_id", n_hashes=64, bands=32)
     if not len(cands):
         return cands.assign(jaccard=pd.Series(dtype="float64"))
     # candidate-sized text retrieval (one pruned membership scan), never a
     # corpus-sized id→text dict
     texts = dd.gather_texts(ds, "doc_id", "text", np.concatenate([cands.id_a.to_numpy(), cands.id_b.to_numpy()]))
     id_to_text = dict(zip(texts.doc_id, texts.text))
-    out = dd.verify_pairs_jaccard(cands, id_to_text, threshold=0.4)
+    out = dd.verify_pairs_jaccard(cands, id_to_text, threshold=0.8)
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -1576,6 +1589,20 @@ ORACLE_SQL["q_pack_shards"] = """
 QUERIES["q_split_counts"] = q_split_counts
 ORACLE_SQL["q_split_counts"] = _hash_split_sql()
 ORACLE_SQL["q_fingerprint"] = _fingerprint_sql()
+ORACLE_SQL["q_minhash_pairs"] = """
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+               WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+          FROM d),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8 ORDER BY id_a, id_b
+"""
 ORACLE_SQL["q_embed_documents"] = """
     SELECT doc_id,
            CAST(64 AS BIGINT) AS vec_dim,
@@ -2497,4 +2524,134 @@ QUERIES["q_kll_quantile_by_type"] = q_kll_quantile_by_type
 ORACLE_SQL["q_kll_quantile_by_type"] = """
     SELECT event_type, COUNT(*) AS n, CAST(1 AS BIGINT) AS p95_rank_ok
     FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# OLAP wide aggregates: rollup / pivot / set ops (stages/olap.py)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_pricing(sf_dir: str) -> pd.DataFrame:
+    """Distributed GROUP BY ROLLUP over lineitem: ONE data shuffle computes
+    the finest (returnflag, linestatus) level; the subtotal and grand-total
+    levels re-aggregate that group-count-sized result (additive aggregates
+    compose — stages/olap.rollup_sums). Oracle: native SQL ROLLUP."""
+    from ..stages import olap
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        rev = pc.multiply(tbl["l_extendedprice"], pc.subtract(pa.scalar(1.0), tbl["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": tbl["l_returnflag"],
+                "l_linestatus": tbl["l_linestatus"],
+                "qty": tbl["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    prepared = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = olap.rollup_sums(prepared, ["l_returnflag", "l_linestatus"], ["qty", "revenue"]).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+QUERIES["q_rollup_pricing"] = q_rollup_pricing
+ORACLE_SQL["q_rollup_pricing"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY 1, 2
+"""
+
+
+def q_pivot_event_quarters(sf_dir: str) -> pd.DataFrame:
+    """Crosstab event_type x calendar quarter: indicator columns emitted per
+    batch, ONE groupby-sum shuffle of (n_groups x n_buckets) cells
+    (stages/olap.pivot_counts). Oracle: conditional aggregation."""
+    from ..stages import olap
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.and_(pc.is_valid(tbl["ts"]), pc.is_valid(tbl["event_type"])))
+
+    def indicators(tbl: pa.Table) -> dict:
+        q = pc.add(pc.divide(pc.subtract(pc.month(tbl["ts"]), 1), 3), 1)
+        cols = {f"n_q{k}": pc.cast(pc.equal(q, k), pa.int64()) for k in (1, 2, 3, 4)}
+        cols["n_total"] = pa.array(np.ones(tbl.num_rows, dtype=np.int64))
+        cols["sum_value"] = tbl["value"]
+        return cols
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+    out = olap.pivot_counts(cleaned, "event_type", indicators).to_pandas()
+    for c in ("n_q1", "n_q2", "n_q3", "n_q4", "n_total"):
+        out[c] = out[c].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["q_pivot_event_quarters"] = q_pivot_event_quarters
+ORACLE_SQL["q_pivot_event_quarters"] = """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN quarter(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_q1,
+           CAST(SUM(CASE WHEN quarter(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_q2,
+           CAST(SUM(CASE WHEN quarter(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_q3,
+           CAST(SUM(CASE WHEN quarter(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_q4,
+           COUNT(*) AS n_total,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distinct-user set algebra between two event cohorts (click vs
+    purchase): block-local dedup + tagged union + ONE groupby decides
+    membership per key from (min_side, max_side)
+    (stages/olap.distinct_set_op). Oracle: native INTERSECT / EXCEPT."""
+    from ..stages import olap
+
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def cohort(event_type: str):
+        def fn(tbl: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(tbl["event_type"], event_type), pc.is_valid(tbl["user_id"]))
+            return tbl.filter(keep).select(["user_id"])
+
+        return fn
+
+    clicks = ev.map_batches(cohort("click"), batch_format="pyarrow", batch_size=None)
+    buys = ev.map_batches(cohort("purchase"), batch_format="pyarrow", batch_size=None)
+    both = olap.distinct_set_op(clicks, buys, "user_id", "intersect").to_pandas()
+    both.insert(0, "op", "click_and_purchase")
+    only = olap.distinct_set_op(clicks, buys, "user_id", "except").to_pandas()
+    only.insert(0, "op", "click_minus_purchase")
+    out = pd.concat([both, only], ignore_index=True)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["op", "user_id"]).reset_index(drop=True)
+
+
+QUERIES["q_set_ops"] = q_set_ops
+ORACLE_SQL["q_set_ops"] = """
+    SELECT 'click_and_purchase' AS op, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+    UNION ALL
+    SELECT 'click_minus_purchase' AS op, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+    ORDER BY op, user_id
 """

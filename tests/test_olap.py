@@ -1,0 +1,90 @@
+"""Unit tests for stages/olap.py: rollup levels, pivot combiner, set ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from teleharvest_ray.stages import olap
+
+
+@pytest.fixture()
+def sales(ray_session):
+    df = pd.DataFrame(
+        {
+            "region": ["e", "e", "e", "w", "w", "n"],
+            "cat": ["a", "a", "b", "a", "b", "b"],
+            "amount": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+        }
+    )
+    return df, rd.from_pandas(df).repartition(3)
+
+
+def test_rollup_levels_match_pandas(sales):
+    df, ds = sales
+    out = olap.rollup_sums(ds, ["region", "cat"], ["amount"]).to_pandas()
+    out = out.sort_values(["region", "cat"]).reset_index(drop=True)
+    # finest
+    finest = df.groupby(["region", "cat"]).amount.agg(["count", "sum"]).reset_index()
+    for _, r in finest.iterrows():
+        row = out[(out.region == r["region"]) & (out.cat == r["cat"])]
+        assert len(row) == 1
+        assert int(row.n_rows.iloc[0]) == r["count"]
+        assert row.sum_amount.iloc[0] == pytest.approx(r["sum"])
+    # subtotal per region (cat rolled to ALL)
+    for reg, grp in df.groupby("region"):
+        row = out[(out.region == reg) & (out.cat == "ALL")]
+        assert int(row.n_rows.iloc[0]) == len(grp)
+        assert row.sum_amount.iloc[0] == pytest.approx(grp.amount.sum())
+    # grand total
+    row = out[(out.region == "ALL") & (out.cat == "ALL")]
+    assert int(row.n_rows.iloc[0]) == len(df)
+    assert row.sum_amount.iloc[0] == pytest.approx(df.amount.sum())
+    # row count: finest + regions + 1
+    assert len(out) == len(finest) + df.region.nunique() + 1
+
+
+def test_pivot_counts_matches_crosstab(sales):
+    df, ds = sales
+
+    def ind(tbl: pa.Table) -> dict:
+        return {
+            "n_a": pc.cast(pc.equal(tbl["cat"], "a"), pa.int64()),
+            "n_b": pc.cast(pc.equal(tbl["cat"], "b"), pa.int64()),
+            "sum_amount": tbl["amount"],
+        }
+
+    out = olap.pivot_counts(ds, "region", ind).to_pandas().set_index("region")
+    ct = pd.crosstab(df.region, df.cat)
+    for reg in df.region.unique():
+        assert out.loc[reg, "n_a"] == ct.loc[reg].get("a", 0)
+        assert out.loc[reg, "n_b"] == ct.loc[reg].get("b", 0)
+        assert out.loc[reg, "sum_amount"] == pytest.approx(
+            df[df.region == reg].amount.sum()
+        )
+
+
+@pytest.mark.parametrize(
+    "op,expected",
+    [
+        ("except", {1, 2}),
+        ("intersect", {3, 4}),
+        ("union", {1, 2, 3, 4, 5, 6}),
+    ],
+)
+def test_distinct_set_op(ray_session, op, expected):
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 3, None]})).repartition(2)
+    b = rd.from_pandas(pd.DataFrame({"k": [3, 4, 5, 6, None, 6]})).repartition(2)
+    got = set(olap.distinct_set_op(a, b, "k", op).to_pandas().k.astype("int64"))
+    assert got == expected
+
+
+def test_set_op_rejects_unknown(ray_session):
+    a = rd.from_items([{"k": 1}])
+    with pytest.raises(ValueError):
+        olap.distinct_set_op(a, a, "k", "minus")
