@@ -71,6 +71,13 @@ def main(argv=None):
     rm.add_argument("--out", required=True)
     rm.add_argument("--window", type=int, default=1000)
 
+    cp = sub.add_parser("compact", help="merge small parquet files into ~target-size outputs")
+    cp.add_argument("--data", required=True, help="directory of *.parquet to compact")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-mb", type=int, default=256)
+    cp.add_argument("--no-resume", action="store_true")
+    cp.add_argument("--prefix", default="", help="only compact files starting with this prefix")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -117,6 +124,20 @@ def main(argv=None):
             from teleharvest_ray.pipelines.refresh import refresh_metrics
 
             print(json.dumps(refresh_metrics(args.data, args.out, cfg, window=args.window)))
+        elif args.cmd == "compact":
+            from teleharvest_ray.pipelines.compact import compact_parquet
+
+            print(
+                json.dumps(
+                    compact_parquet(
+                        args.data,
+                        args.out,
+                        target_mb=args.target_mb,
+                        resume=not args.no_resume,
+                        prefix=args.prefix,
+                    )
+                )
+            )
     finally:
         ray.shutdown()
     return 0
