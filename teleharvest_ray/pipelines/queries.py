@@ -2655,3 +2655,44 @@ ORACLE_SQL["q_set_ops"] = """
       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
     ORDER BY op, user_id
 """
+
+
+def q_join_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER bucketed hash join (stages/joins.bucketed_hash_join,
+    how='outer'): customers restricted to even keys so BOTH sides carry
+    unmatched rows — odd-custkey orders miss right, order-less even
+    customers miss left. Nulls are coalesced to sentinels on both sides so
+    the compare stays dtype-exact int64/float64."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+
+    def even(tbl: pa.Table) -> pa.Table:
+        k = tbl["c_custkey"]
+        return tbl.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 2), 2)), 0))
+
+    cust = cust.map_batches(even, batch_format="pyarrow", batch_size=None)
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = jn.bucketed_hash_join(orders, cust, on="c_custkey", how="outer").to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].fillna(-1).astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].fillna(-1.0).round(2)
+    out["c_acctbal"] = out["c_acctbal"].fillna(-1.0).round(2)
+    return out.sort_values(["c_custkey", "o_orderkey"]).reset_index(drop=True)[
+        ["c_custkey", "o_orderkey", "o_totalprice", "c_acctbal"]
+    ]
+
+
+QUERIES["q_join_full_outer"] = q_join_full_outer
+ORACLE_SQL["q_join_full_outer"] = """
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+           COALESCE(o_orderkey, -1) AS o_orderkey,
+           ROUND(COALESCE(o_totalprice, -1.0), 2) AS o_totalprice,
+           ROUND(COALESCE(c_acctbal, -1.0), 2) AS c_acctbal
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) c
+    FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    ORDER BY 1, 2
+"""
