@@ -2698,3 +2698,33 @@ ORACLE_SQL["q_join_full_outer"] = """
     FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
     ORDER BY 1, 2
 """
+
+
+def q_skew_join(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware join (stages/joins.skew_join): hot user_ids (detected from
+    a bounded sample) take a broadcast no-shuffle path while the long tail
+    buckets — the hot-conversation defense for join workloads. At sf0.01 the
+    0.8% threshold genuinely activates the hot path (top events users carry
+    ~0.86%); the oracle is the plain inner join, so BOTH paths' union must
+    reproduce it exactly."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = jn.skew_join(ev, cust, on="user_id", hot_frac=0.008).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)[
+        ["user_id", "event_id", "c_mktsegment"]
+    ]
+
+
+QUERIES["q_skew_join"] = q_skew_join
+ORACLE_SQL["q_skew_join"] = """
+    SELECT user_id, event_id, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    ORDER BY user_id, event_id
+"""

@@ -574,3 +574,63 @@ def anti_join(
         return out
 
     return bt.union(rt).groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    how: str = "inner",
+    hot_frac: float = 0.01,
+    sample_rows: int = 100_000,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Skew-aware hash join: hot keys broadcast, the long tail buckets.
+
+    A plain bucketed join pins every row of a hot key into ONE bucket task —
+    at 10^12 rows a hot-conversation-style key (the planted 10%-of-turns
+    conversation in this repo's own testdata) makes one straggler carry 10%
+    of the data. Here hot keys are detected from a BOUNDED left-side sample
+    (``limit(sample_rows)`` — a streaming take), their right-side rows are
+    broadcast once (contract: the right side is dimension-bounded per key),
+    and hot left rows join batch-locally with NO shuffle; only the long tail
+    pays the bucketed exchange. With no hot keys this degrades to exactly
+    :func:`bucketed_hash_join`.
+
+    Inner-only for now: non-inner skew joins need the NA-promotion map
+    coordinated across the two streams; extend when a pipeline needs it.
+    """
+    if how != "inner":
+        raise NotImplementedError("skew_join currently supports inner joins only")
+    # materialize: the sample, the hot/cold splits and the bucketed join all
+    # re-consume these inputs; an expensive upstream should execute once
+    left = left.materialize()
+    sample = left.limit(sample_rows).to_pandas()
+    vc = sample[on].value_counts()
+    hot = vc[vc >= max(2.0, hot_frac * len(sample))].index.to_numpy()
+    if len(hot) == 0:
+        return bucketed_hash_join(left, right, on=on, how=how, n_buckets=n_buckets)
+    hot_sorted = np.sort(hot)
+    right = right.materialize()
+
+    def keep(batch: pd.DataFrame, want_hot: bool) -> pd.DataFrame:
+        m = member_mask(hot_sorted, batch[on].to_numpy())
+        return batch[m if want_hot else ~m]
+
+    # hot right rows: key-count-bounded by the dimension contract
+    right_hot = right.map_batches(lambda b: keep(b, True), batch_format="pandas").to_pandas()
+    rh_ref = ray.put(right_hot)
+
+    def hot_join(batch: pd.DataFrame) -> pd.DataFrame:
+        b = keep(batch, True)
+        return b.merge(ray.get(rh_ref), on=on, how="inner", suffixes=("", "_r"))
+
+    hot_joined = left.map_batches(hot_join, batch_format="pandas")
+    cold_joined = bucketed_hash_join(
+        left.map_batches(lambda b: keep(b, False), batch_format="pandas"),
+        right.map_batches(lambda b: keep(b, False), batch_format="pandas"),
+        on=on,
+        how="inner",
+        n_buckets=n_buckets,
+    )
+    return hot_joined.union(cold_joined)

@@ -88,3 +88,28 @@ def test_set_op_rejects_unknown(ray_session):
     a = rd.from_items([{"k": 1}])
     with pytest.raises(ValueError):
         olap.distinct_set_op(a, a, "k", "minus")
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """Half the left rows share ONE hot key; skew_join's hot-broadcast +
+    cold-bucketed union must reproduce the plain inner join exactly, and the
+    no-hot-keys fallback must too."""
+    from teleharvest_ray.stages.joins import skew_join
+
+    n = 8_000
+    left = pd.DataFrame(
+        {"k": np.r_[np.full(n // 2, 7), np.arange(n // 2)], "v": np.arange(n)}
+    )
+    right = pd.DataFrame({"k": np.arange(n // 2), "w": np.arange(n // 2) * 10})
+    exp = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    for frac in (0.05, 0.99):  # hot path active / fallback to pure bucketed
+        got = (
+            skew_join(lds, rds, on="k", hot_frac=frac)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[exp.columns.tolist()]
+            .astype(exp.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(got, exp)
