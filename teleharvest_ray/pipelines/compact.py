@@ -103,14 +103,22 @@ def compact_parquet(
     sized = [(p, os.stat(p).st_size) for p in files]
     groups = plan_compaction(sized, target_mb * 1024 * 1024)
 
-    futures, skipped = [], 0
+    futures, skipped, expected = [], 0, set()
     for i, grp in enumerate(groups):
-        out_path = os.path.join(out_dir, f"compact-{i:05d}-{_group_digest(grp)}.parquet")
+        name = f"compact-{i:05d}-{_group_digest(grp)}.parquet"
+        expected.add(name)
+        out_path = os.path.join(out_dir, name)
         if resume and os.path.exists(out_path):
             skipped += 1
             continue
         futures.append(_compact_group.remote(grp, out_path))
     done = ray.get(futures)
+    # outputs from an EARLIER plan over a different input set: surfaced, not
+    # deleted — the caller decides (an input change shifts group boundaries,
+    # so stale names no longer appear in the current plan)
+    stray = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in expected
+    )
     return {
         "n_input_files": len(files),
         "bytes_in": sum(s for _, s in sized),
@@ -118,4 +126,5 @@ def compact_parquet(
         "n_written": len(done),
         "n_skipped_resume": skipped,
         "rows_written": sum(d["rows"] for d in done),
+        "stray_outputs": stray,
     }

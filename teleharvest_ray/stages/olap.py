@@ -44,10 +44,16 @@ def rollup_sums(
 
     # coalesce key-x-block-sized partials before the groupby: aggregate
     # output partition count follows input block count, and a handful of
-    # keys over many blocks yields empty schema-less output blocks
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(2)
+    # keys over many blocks yields empty schema-less output blocks. The
+    # coalesce width is sized from the MEASURED partial count (materialize
+    # is fine — partials shuffle next anyway) so a high-cardinality rollup
+    # is not funneled through two giant blocks.
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
+    n_partials = partials.count()
+    width = int(min(512, max(2, n_partials // 500_000 + 1)))
     re_aggs = [Sum("n_rows", alias_name="n_rows")] + [Sum(s, alias_name=s) for s in scols]
-    finest = partials.groupby(keys).aggregate(*re_aggs).materialize()
+    finest = partials.repartition(width).groupby(keys).aggregate(*re_aggs).materialize()
+    lvl_width = int(min(512, max(1, finest.count() // 500_000 + 1)))
 
     def fill(tbl: pa.Table, present: list[str]) -> pa.Table:
         cols = {}
@@ -64,7 +70,7 @@ def rollup_sums(
     levels = [finest.map_batches(lambda t: fill(t, keys), batch_format="pyarrow")]
     for depth in range(len(keys) - 1, 0, -1):
         prefix = keys[:depth]
-        lvl = finest.repartition(1).groupby(prefix).aggregate(*re_aggs)
+        lvl = finest.repartition(lvl_width).groupby(prefix).aggregate(*re_aggs)
         levels.append(lvl.map_batches(lambda t, p=prefix: fill(t, p), batch_format="pyarrow"))
     total = finest.aggregate(
         Sum("n_rows", alias_name="n_rows"), *[Sum(s, alias_name=s) for s in scols]

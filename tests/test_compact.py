@@ -60,3 +60,15 @@ def test_compact_schema_mismatch_fails_loudly(ray_session, small_files, tmp_path
     )
     with pytest.raises(Exception, match="schema mismatch"):
         compact_parquet(str(small_files), str(tmp_path / "out2"), target_mb=1)
+
+
+def test_compact_reports_stray_outputs(ray_session, small_files, tmp_path):
+    """An output produced by an earlier plan over a different input set is
+    surfaced (never deleted) once the plan no longer names it."""
+    out = tmp_path / "out"
+    compact_parquet(str(small_files), str(out), target_mb=1)
+    extra = pd.DataFrame({"k": [1], "v": ["x"]})
+    pq.write_table(pa.Table.from_pandas(extra), small_files / "part-new.parquet")
+    s = compact_parquet(str(small_files), str(out), target_mb=1)
+    assert s["stray_outputs"], s  # old group names shifted -> stale file reported
+    assert all((out / f).exists() for f in s["stray_outputs"])
