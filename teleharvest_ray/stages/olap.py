@@ -138,10 +138,16 @@ def distinct_set_op(
 
         return fn
 
-    tagged = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
-        ds_b.map_batches(tag(1), batch_format="pyarrow")
+    tagged = (
+        ds_a.map_batches(tag(0), batch_format="pyarrow")
+        .union(ds_b.map_batches(tag(1), batch_format="pyarrow"))
+        .materialize()  # key-stream-sized; shuffled next anyway
     )
-    grouped = tagged.groupby(key).aggregate(
+    # coalesce before the groupby: aggregate output partition count follows
+    # input block count, and few keys over many tagged blocks yields empty
+    # schema-less blocks (the rollup_sums pattern, width from measured rows)
+    width = int(min(512, max(2, tagged.count() // 500_000 + 1)))
+    grouped = tagged.repartition(width).groupby(key).aggregate(
         Min("side", alias_name="lo"), Max("side", alias_name="hi")
     )
 
