@@ -2659,6 +2659,34 @@ ORACLE_SQL["q_set_ops"] = """
 """
 
 
+def q_cube_order_status(sf_dir: str) -> pd.DataFrame:
+    """Distributed GROUP BY CUBE over orders (status x priority): all four
+    grouping sets derive from ONE data shuffle — the finest level is shuffled
+    once, the three coarser sets re-aggregate that group-count-sized result
+    (stages/olap.cube_sums). Oracle: native SQL CUBE."""
+    from ..stages import olap
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    out = olap.cube_sums(ds, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"]).to_pandas()
+    out = out.rename(columns={"sum_o_totalprice": "sum_price"})
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+QUERIES["q_cube_order_status"] = q_cube_order_status
+ORACLE_SQL["q_cube_order_status"] = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY 1, 2
+"""
+
+
 def q_join_full_outer(sf_dir: str) -> pd.DataFrame:
     """FULL OUTER bucketed hash join (stages/joins.bucketed_hash_join,
     how='outer'): customers restricted to even keys so BOTH sides carry

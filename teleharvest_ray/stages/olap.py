@@ -18,21 +18,30 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
-def rollup_sums(
+def grouping_sets_sums(
     ds: Dataset,
     keys: list[str],
+    sets: list[list[str]],
     sum_cols: list[str],
     all_marker: str = "ALL",
 ) -> Dataset:
-    """GROUP BY ROLLUP(keys): the finest level is ONE hash-shuffle groupby
-    over the data; every coarser level (prefixes of ``keys``, down to the
-    grand total) re-aggregates the finest RESULT — additive aggregates
+    """GROUP BY GROUPING SETS over additive aggregates: the finest level
+    (all of ``keys``) is ONE hash-shuffle groupby over the data; every other
+    requested set re-aggregates the finest RESULT — additive aggregates
     (count, sum) compose, so the data is scanned and shuffled exactly once.
-    Rolled-up key columns carry ``all_marker`` (the SQL oracle mirrors with
-    COALESCE). The finest level is materialized before fan-out: it is
-    group-count-sized by construction, and each coarser level would
-    otherwise re-execute the full scan.
+    Absent key columns carry ``all_marker`` (the SQL oracle mirrors with
+    COALESCE); the empty set is the grand total. The finest level is
+    materialized before fan-out: it is group-count-sized by construction,
+    and each derived set would otherwise re-execute the full scan.
     """
+    keyset = set(keys)
+    norm: list[tuple[str, ...]] = []
+    for s in sets:
+        if not set(s) <= keyset:
+            raise ValueError(f"grouping set {s} not a subset of keys {keys}")
+        t = tuple(k for k in keys if k in set(s))  # canonical key order
+        if t not in norm:
+            norm.append(t)
     scols = [f"sum_{c}" for c in sum_cols]
 
     def partial(batch: "pd.DataFrame") -> pa.Table:
@@ -67,28 +76,64 @@ def rollup_sums(
             cols[s] = tbl[s]
         return pa.table(cols)
 
-    levels = [finest.map_batches(lambda t: fill(t, keys), batch_format="pyarrow")]
-    for depth in range(len(keys) - 1, 0, -1):
-        prefix = keys[:depth]
-        lvl = finest.repartition(lvl_width).groupby(prefix).aggregate(*re_aggs)
-        levels.append(lvl.map_batches(lambda t, p=prefix: fill(t, p), batch_format="pyarrow"))
-    total = finest.aggregate(
-        Sum("n_rows", alias_name="n_rows"), *[Sum(s, alias_name=s) for s in scols]
-    )
-    total_tbl = pa.table(
-        {
-            **{k: pa.array([all_marker], pa.string()) for k in keys},
-            "n_rows": pa.array([total["n_rows"]], pa.int64()),
-            **{s: pa.array([total[s]]) for s in scols},
-        }
-    )
     import ray.data as rd
 
-    levels.append(rd.from_arrow(total_tbl))
+    levels = []
+    for grp in norm:
+        if len(grp) == len(keys):
+            levels.append(finest.map_batches(lambda t: fill(t, keys), batch_format="pyarrow"))
+        elif grp:
+            lvl = finest.repartition(lvl_width).groupby(list(grp)).aggregate(*re_aggs)
+            levels.append(
+                lvl.map_batches(lambda t, p=list(grp): fill(t, p), batch_format="pyarrow")
+            )
+        else:
+            total = finest.aggregate(
+                Sum("n_rows", alias_name="n_rows"), *[Sum(s, alias_name=s) for s in scols]
+            )
+            total_tbl = pa.table(
+                {
+                    **{k: pa.array([all_marker], pa.string()) for k in keys},
+                    "n_rows": pa.array([total["n_rows"]], pa.int64()),
+                    **{s: pa.array([total[s]]) for s in scols},
+                }
+            )
+            levels.append(rd.from_arrow(total_tbl))
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_sums(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    all_marker: str = "ALL",
+) -> Dataset:
+    """GROUP BY ROLLUP(keys): the grouping sets are the prefixes of ``keys``
+    down to the grand total (one data shuffle total — see
+    :func:`grouping_sets_sums`)."""
+    sets = [keys[:d] for d in range(len(keys), -1, -1)]
+    return grouping_sets_sums(ds, keys, sets, sum_cols, all_marker)
+
+
+def cube_sums(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    all_marker: str = "ALL",
+) -> Dataset:
+    """GROUP BY CUBE(keys): every subset of ``keys`` (2^k sets), all derived
+    from the single finest shuffle — re-aggregation input is group-count-
+    sized, so the 2^k fan-out never rescans the data."""
+    from itertools import combinations
+
+    sets: list[list[str]] = []
+    for r in range(len(keys), -1, -1):
+        for combo in combinations(keys, r):
+            sets.append(list(combo))
+    return grouping_sets_sums(ds, keys, sets, sum_cols, all_marker)
 
 
 def pivot_counts(

@@ -113,3 +113,21 @@ def test_skew_join_matches_plain_join(ray_session):
             .astype(exp.dtypes.to_dict())
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cube_levels_match_pandas(sales):
+    df, ds = sales
+    out = olap.cube_sums(ds, ["region", "cat"], ["amount"]).to_pandas()
+    # the cube adds the cat-only slice on top of the rollup's sets
+    for cat, grp in df.groupby("cat"):
+        row = out[(out.region == "ALL") & (out.cat == cat)]
+        assert int(row.n_rows.iloc[0]) == len(grp)
+        assert row.sum_amount.iloc[0] == pytest.approx(grp.amount.sum())
+    finest = df.groupby(["region", "cat"]).size()
+    assert len(out) == len(finest) + df.region.nunique() + df.cat.nunique() + 1
+
+
+def test_grouping_sets_rejects_bad_set(sales):
+    _, ds = sales
+    with pytest.raises(ValueError, match="not a subset"):
+        olap.grouping_sets_sums(ds, ["region"], [["bogus"]], ["amount"])
