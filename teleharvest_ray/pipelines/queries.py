@@ -2728,6 +2728,48 @@ ORACLE_SQL["q_join_full_outer"] = """
 """
 
 
+def q_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered fact-dim join: high-value orders (~3% of the table)
+    joined to lineitem. The dim side's keys become a distributed-built Bloom
+    filter broadcast once; ~97% of lineitem rows are dropped BEFORE the
+    bucketed shuffle, so exchange volume tracks the match count, not the
+    fact table (stages/joins.bloom_prefiltered_join). Result is exactly the
+    inner join — false positives die in the in-bucket merge."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_quantity", "l_extendedprice"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 480000.0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = jn.bloom_prefiltered_join(li, orders, on="o_orderkey").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    for c in ("l_quantity", "l_extendedprice", "o_totalprice"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["o_orderkey", "l_extendedprice", "l_quantity"]).reset_index(drop=True)[
+        ["o_orderkey", "l_quantity", "l_extendedprice", "o_totalprice"]
+    ]
+
+
+QUERIES["q_bloom_join"] = q_bloom_join
+ORACLE_SQL["q_bloom_join"] = """
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(l.l_quantity, 2) AS l_quantity,
+           ROUND(l.l_extendedprice, 2) AS l_extendedprice,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 480000.0
+    ORDER BY 1, 3, 2
+"""
+
+
 def q_skew_join(sf_dir: str) -> pd.DataFrame:
     """Skew-aware join (stages/joins.skew_join): hot user_ids (detected from
     a bounded sample) take a broadcast no-shuffle path while the long tail

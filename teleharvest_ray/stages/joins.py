@@ -177,6 +177,51 @@ def bucketed_hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def bloom_prefiltered_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    fpp: float = 0.001,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """INNER bucketed join where ``right`` is selective but past broadcast
+    budget: a Bloom filter over right's join keys is built distributed
+    (per-block partials with identical ``(n, fpp)`` params OR-merge
+    associatively — the sketch-merge shape), broadcast ONCE via ``ray.put``
+    (~1.8 MB per million keys at 0.1% FPP, vs shipping the keys), and left
+    rows whose key CANNOT match are dropped before the join's all-to-all
+    shuffle — exchange volume becomes ~|matching left| + fpp·|left| instead
+    of |left|. False positives only re-admit rows the exact in-bucket merge
+    discards, so the result equals ``bucketed_hash_join(left, right,
+    how='inner')`` exactly (equivalence is test-asserted at fpp=0.5). Inner
+    only by construction: outer joins need the unmatched rows this filter
+    exists to drop.
+    """
+    from ..functions.bloom import BloomFilter
+
+    right = right.materialize()
+    n_keys = max(right.count(), 1)
+    merged = BloomFilter(n_keys, fpp)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_keys, fpp)  # identical params in every task
+        bf.add_hashes(_key_hash(batch[on].to_numpy()))
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    # driver folds streamed filter-sized partials; key values never leave
+    # the tasks (the build_bloom_index shape, stages/keyspace.py)
+    for row in right.map_batches(partial, batch_format="pandas").iter_rows():
+        np.bitwise_or(merged.bits, np.frombuffer(row["bits"], dtype=np.uint8), out=merged.bits)
+    bf_ref = ray.put(merged)
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = ray.get(bf_ref)  # zero-copy per-worker cached bits
+        return batch[bf.contains_hashes(_key_hash(batch[on].to_numpy()))]
+
+    filtered = left.map_batches(prefilter, batch_format="pandas")
+    return bucketed_hash_join(filtered, right, on, n_buckets=n_buckets, how="inner")
+
+
 def asof_match(
     lkey: np.ndarray, lts: np.ndarray, rkey: np.ndarray, rts: np.ndarray
 ) -> np.ndarray:

@@ -306,3 +306,42 @@ def test_anti_join_int64_above_2p53_exact(ray_session, monkeypatch):
     want = big[~big.id.isin(right.id)]
     assert out["pay"].dtype == np.int64
     assert sorted(out["pay"]) == sorted(want["pay"])
+
+
+def test_bloom_prefiltered_join_matches_bucketed(ray_session):
+    """Exact-equivalence at fpp=0.5: half the non-matching left rows pass the
+    filter and must die in the in-bucket merge — the result must still equal
+    the plain inner bucketed join."""
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 2000, 5000), "v": rng.normal(size=5000)})
+    right = pd.DataFrame({"k": np.arange(0, 2000, 37), "w": np.arange(0, 2000, 37) * 0.5})
+    got = (
+        jn.bloom_prefiltered_join(rd.from_pandas(left), rd.from_pandas(right), on="k", fpp=0.5)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        jn.bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
+
+
+def test_bloom_prefilter_actually_drops(ray_session):
+    """At fpp=1e-3 with a tiny key set, nearly all non-matching rows are
+    dropped before the shuffle (the operator's reason to exist)."""
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000), "v": 1.0})
+    right = pd.DataFrame({"k": np.array([3, 14, 159]), "w": [1.0, 2.0, 3.0]})
+    from teleharvest_ray.functions.bloom import BloomFilter
+
+    bf = BloomFilter(3, 0.001)
+    bf.add_hashes(jn._key_hash(right["k"].to_numpy()))
+    passed = int(bf.contains_hashes(jn._key_hash(left["k"].to_numpy())).sum())
+    true_matches = int(left["k"].isin(right["k"]).sum())
+    assert passed - true_matches < 200  # ~0.1% of 20k, generous margin
+    got = jn.bloom_prefiltered_join(rd.from_pandas(left), rd.from_pandas(right), on="k").to_pandas()
+    assert len(got) == true_matches
