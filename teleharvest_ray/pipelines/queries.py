@@ -2330,6 +2330,38 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+_EPOCH_SEED = 2026
+
+
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-epoch shuffle (stages/ordering.py:
+    epoch_shuffle_ranks): every event's position in the epoch-2026
+    permutation is its exact global rank under ORDER BY
+    splitmix64(event_id XOR seed) — reproducible across runs and cluster
+    sizes, unlike random_shuffle. Every 7th position is emitted (a
+    rank-sampled audit, driver-safe at any scale); the oracle recomputes
+    the identical permutation with the bit-exact splitmix64-in-SQL CTE."""
+    from ..stages import ordering as od
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id"])
+    out = od.epoch_shuffle_ranks(ds, key="event_id", seed=_EPOCH_SEED, n_ranges=32, every=7)
+    out = out.to_pandas().rename(columns={"rk": "pos"})
+    out["pos"] = out["pos"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("pos").reset_index(drop=True)[["pos", "event_id"]]
+
+
+QUERIES["q_epoch_shuffle"] = q_epoch_shuffle
+ORACLE_SQL["q_epoch_shuffle"] = f"""
+    WITH s AS (SELECT event_id,
+               xor(CAST(event_id AS UBIGINT), CAST({_EPOCH_SEED} AS UBIGINT)) AS x
+               FROM events),
+    {_splitmix_full_cte('s', ['event_id'])}
+    SELECT pos, event_id FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY x, event_id) AS pos, event_id FROM sm)
+    WHERE pos % 7 = 1 ORDER BY pos
+"""
+
 
 #: declarative domain constraints over lineitem: name -> vectorized predicate
 #: flagging VIOLATIONS (the checks.py registry idea applied to an arbitrary

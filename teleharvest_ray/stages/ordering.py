@@ -154,3 +154,34 @@ def export_sorted_ranges(
 
     man = tagged.groupby("__range").map_groups(write_range, batch_format="pandas").to_pandas()
     return man.sort_values("range_id").reset_index(drop=True)
+
+
+def epoch_shuffle_ranks(
+    ds: Dataset,
+    key: str,
+    seed: int,
+    n_ranges: int = 64,
+    every: int = 1,
+) -> Dataset:
+    """Deterministic seeded global permutation (the training-epoch shuffle):
+    each row's position is its exact global rank under
+    ``ORDER BY splitmix64(key XOR seed)``. Unlike ``ds.random_shuffle`` the
+    permutation is a pure function of (key, seed) — reproducible across
+    runs, cluster sizes, and partition layouts, and a different permutation
+    per epoch by bumping ``seed``. Distributed with the same range-partition
+    machinery as :func:`global_ranks` (one groupby shuffle, sample-sized
+    driver state); ``every`` rank-samples the output for driver-safe audits
+    of an arbitrarily large permutation."""
+    from ..functions.hashing import splitmix64
+
+    def h(tbl: pa.Table) -> pa.Table:
+        k = tbl[key].to_numpy()
+        if k.dtype.kind not in ("i", "u"):
+            raise TypeError(f"epoch_shuffle_ranks needs an integer key, got {k.dtype}")
+        x = splitmix64(k.astype(np.int64).view(np.uint64) ^ np.uint64(seed))
+        return tbl.append_column("__h", pa.array(x, pa.uint64()))
+
+    hashed = ds.map_batches(h, batch_format="pyarrow", batch_size=None)
+    return global_ranks(
+        hashed, "__h", tiebreak=[key], n_ranges=n_ranges, keep=[key], every=every
+    )

@@ -97,3 +97,30 @@ def test_segmented_rank_kernel_properties(ray_session):
         exp = df.sort_values(["k", "id"], kind="stable").reset_index(drop=True)
         assert (got.id.to_numpy() == exp.id.to_numpy()).all(), f"seed={seed}"
         assert (got.rk.to_numpy() == np.arange(1, n + 1)).all(), f"seed={seed}"
+
+
+def test_epoch_shuffle_is_seeded_permutation(ray_session):
+    """every=1 yields a bijection onto 1..n that matches the brute-force
+    argsort of splitmix64(key ^ seed); different seeds permute differently;
+    the same seed reproduces bit-identically across partition layouts."""
+    import ray.data as rd
+    from teleharvest_ray.functions.hashing import splitmix64
+    from teleharvest_ray.stages.ordering import epoch_shuffle_ranks
+
+    keys = np.arange(1000, dtype=np.int64)
+    df = pd.DataFrame({"k": keys})
+
+    def run(seed, parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = epoch_shuffle_ranks(ds, "k", seed, n_ranges=8).to_pandas()
+        return out.sort_values("rk").reset_index(drop=True)
+
+    got = run(7, 5)
+    assert sorted(got["rk"]) == list(range(1, 1001))  # bijection
+    h = splitmix64(keys.view(np.uint64) ^ np.uint64(7))
+    exp_order = keys[np.argsort(h, kind="stable")]
+    assert list(got["k"]) == list(exp_order)
+    # layout-independent: same seed, different partitioning -> same result
+    pd.testing.assert_frame_equal(got, run(7, 2))
+    # epoch-dependent: a different seed is a different permutation
+    assert list(run(8, 5)["k"]) != list(got["k"])
