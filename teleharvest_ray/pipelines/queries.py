@@ -2330,6 +2330,49 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+def q_ntile_bins(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth discretization (stages/ordering.py:ntile_buckets): every
+    lineitem row tagged with its NTILE(8) bucket under a total order, then a
+    bucket-count-sized aggregate — quantile-binned curriculum stats. Oracle:
+    native NTILE window."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, Min as _Min
+
+    from ..stages import ordering as od
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    binned = od.ntile_buckets(
+        ds, key="l_extendedprice", tiebreak=["l_orderkey", "l_linenumber"], n_buckets=8
+    )
+    out = (
+        binned.groupby("bucket")
+        .aggregate(
+            _Count(alias_name="n_rows"),
+            _Min("l_extendedprice", alias_name="min_price"),
+            _Max("l_extendedprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    for c in ("min_price", "max_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+QUERIES["q_ntile_bins"] = q_ntile_bins
+ORACLE_SQL["q_ntile_bins"] = """
+    SELECT bucket, COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM (SELECT l_extendedprice,
+                 NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+          FROM lineitem)
+    GROUP BY bucket ORDER BY bucket
+"""
+
+
 _EPOCH_SEED = 2026
 
 

@@ -185,3 +185,39 @@ def epoch_shuffle_ranks(
     return global_ranks(
         hashed, "__h", tiebreak=[key], n_ranges=n_ranges, keep=[key], every=every
     )
+
+
+def ntile_buckets(
+    ds: Dataset,
+    key: str,
+    tiebreak: list[str],
+    n_buckets: int,
+    n_ranges: int = 32,
+) -> Dataset:
+    """Equi-depth discretization: every row tagged with its SQL-NTILE bucket
+    under ``ORDER BY key, *tiebreak`` (first ``n % B`` buckets get
+    ``ceil(n/B)`` rows, the rest ``floor(n/B)`` — exactly NTILE semantics).
+    Built on :func:`global_ranks` (one range-partition shuffle); the rank
+    stream is materialized once (narrow: rank + key) so the row count and
+    the bucket tagging don't re-execute the sort. The usual consumer is a
+    per-bucket aggregate (quantile-binned curriculum stats), which is
+    n_buckets-sized."""
+    ranks = global_ranks(ds, key, tiebreak, n_ranges=n_ranges, keep=[key]).materialize()
+    n = ranks.count()
+    if n == 0:
+        return ranks.map_batches(
+            lambda t: t.append_column("bucket", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    q, r = divmod(n, n_buckets)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        rk = tbl["rk"].to_numpy()
+        if q == 0:  # fewer rows than buckets: NTILE gives bucket = rank
+            b = rk
+        else:
+            head = r * (q + 1)  # rows covered by the ceil-sized buckets
+            b = np.where(rk <= head, (rk - 1) // (q + 1) + 1, r + (rk - head - 1) // q + 1)
+        return tbl.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    return ranks.map_batches(tag, batch_format="pyarrow")

@@ -124,3 +124,25 @@ def test_epoch_shuffle_is_seeded_permutation(ray_session):
     pd.testing.assert_frame_equal(got, run(7, 2))
     # epoch-dependent: a different seed is a different permutation
     assert list(run(8, 5)["k"]) != list(got["k"])
+
+
+def test_ntile_matches_semantics(ray_session):
+    """NTILE semantics: first n%B buckets get ceil(n/B) rows; total order
+    preserved across bucket boundaries; degenerate n<B gives bucket=rank."""
+    import ray.data as rd
+    from teleharvest_ray.stages.ordering import ntile_buckets
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.permutation(103), "t": np.arange(103)})
+    out = (
+        ntile_buckets(rd.from_pandas(df).repartition(4), "k", ["t"], n_buckets=5, n_ranges=4)
+        .to_pandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    sizes = out.groupby("bucket").size()
+    assert list(sizes) == [21, 21, 21, 20, 20]  # 103 = 3*21 + 2*20
+    assert (out["k"].to_numpy() == np.sort(df["k"].to_numpy())).all()
+    assert out.groupby("bucket")["k"].max().is_monotonic_increasing
+    small = ntile_buckets(rd.from_pandas(df.head(3)), "k", ["t"], n_buckets=5).to_pandas()
+    assert sorted(small["bucket"]) == [1, 2, 3]
