@@ -2330,6 +2330,43 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+_SPAN_MIN_TOKENS = 8
+
+
+def q_shared_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-span detection (the ExactSubstr family): doc pairs
+    sharing a run of >= 8 consecutive tokens, with the EXACT longest shared
+    run length (stages/dedup.shared_span_pairs — candidates from one
+    gram-hash shuffle, spans measured by sparse-table binary search over the
+    candidate-sized text gather). Oracle: K-gram candidate join + token-
+    position gaps-and-islands longest-diagonal-run."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.shared_span_pairs(docs, "text", "doc_id", min_tokens=_SPAN_MIN_TOKENS)
+    return out.astype("int64")
+
+
+QUERIES["q_shared_spans"] = q_shared_spans
+ORACLE_SQL["q_shared_spans"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(ws) AS tok, unnest(generate_series(1, len(ws))) AS i FROM d),
+    kg AS (SELECT doc_id,
+           unnest([array_to_string(ws[i:i+{_SPAN_MIN_TOKENS - 1}], ' ')
+                   FOR i IN generate_series(1, len(ws) - {_SPAN_MIN_TOKENS - 1})]) AS gram
+           FROM d),
+    cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+             FROM kg a JOIN kg b USING (gram) WHERE a.doc_id < b.doc_id),
+    m AS (SELECT c.u, c.v, ta.i AS ai, tb.i AS bi
+          FROM cand c JOIN tok ta ON ta.doc_id = c.u
+                      JOIN tok tb ON tb.doc_id = c.v AND tb.tok = ta.tok),
+    isl AS (SELECT u, v, ai - bi AS diag,
+                   ai - ROW_NUMBER() OVER (PARTITION BY u, v, ai - bi ORDER BY ai) AS grp
+            FROM m),
+    runs AS (SELECT u, v, COUNT(*) AS run FROM isl GROUP BY u, v, diag, grp)
+    SELECT u AS id_a, v AS id_b, MAX(run) AS max_run
+    FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_ntile_bins(sf_dir: str) -> pd.DataFrame:
     """Equi-depth discretization (stages/ordering.py:ntile_buckets): every
     lineitem row tagged with its NTILE(8) bucket under a total order, then a

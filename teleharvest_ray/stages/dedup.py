@@ -603,3 +603,121 @@ def embedding_near_dup(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact shared-span measurement (the ExactSubstr family: Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+_SPAN_MIX = _U64(0xA0761D6478BD642F)
+
+
+def _mix_windows(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Order-sensitive combiner for adjacent window hashes: equal token
+    sequences combine to equal hashes, different ones collide with
+    probability ~2**-64."""
+    with np.errstate(over="ignore"):
+        return splitmix64(splitmix64(x ^ _SPAN_MIX) ^ y)
+
+
+def _pow2_tables(th: np.ndarray, max_k: int) -> list[np.ndarray]:
+    """Sparse table S[k][i] = hash of the token window [i, i + 2**k) —
+    O(n log n) once per doc, then ANY window length resolves in O(log L)."""
+    tables = [th]
+    for k in range(1, max_k + 1):
+        prev = tables[-1]
+        half = 1 << (k - 1)
+        if len(prev) <= half:
+            break
+        tables.append(_mix_windows(prev[:-half], prev[half:]))
+    return tables
+
+
+def _window_hashes(tables: list[np.ndarray], L: int, n: int) -> np.ndarray:
+    """Hashes of every length-``L`` token window, from the binary
+    decomposition of L over the power-of-two sparse table (position-
+    independent: only window CONTENT feeds the combiner)."""
+    m = n - L + 1
+    acc = None
+    off = 0
+    for k in range(len(tables) - 1, -1, -1):
+        if not (L >> k) & 1:
+            continue
+        piece = tables[k][off : off + m]
+        acc = piece.copy() if acc is None else _mix_windows(acc, piece)
+        off += 1 << k
+    return acc
+
+
+def longest_shared_run(th_a: np.ndarray, th_b: np.ndarray, lo: int) -> int:
+    """Exact length of the longest token run shared by two token-hash
+    streams (binary search over run length; the predicate intersects the
+    two docs' window-hash sets — monotone because a shared L-run contains a
+    shared (L-1)-run). ``lo`` is a known-shared length (the candidate
+    generator guarantees it). O((n+m) log n · log L)."""
+    hi = int(min(len(th_a), len(th_b)))
+    if hi == 0:
+        return 0
+    import math
+
+    max_k = max(0, int(math.log2(hi)))
+    ta = _pow2_tables(th_a, max_k)
+    tb = _pow2_tables(th_b, max_k)
+
+    def shared(L: int) -> bool:
+        ha = _window_hashes(ta, L, len(th_a))
+        hb = _window_hashes(tb, L, len(th_b))
+        if len(ha) > len(hb):
+            ha, hb = hb, ha
+        return bool(np.isin(ha, hb).any())
+
+    lo = min(lo, hi)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if shared(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return int(lo)
+
+
+def shared_span_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+    n_parts: int = 32,
+    cap: int = 2000,
+) -> pd.DataFrame:
+    """Doc pairs sharing an exact run of >= ``min_tokens`` consecutive
+    tokens, with the EXACT longest shared run length per pair.
+
+    Scale shape: candidates come from :func:`gram_edges` (one groupby
+    shuffle of (gram_hash, id) rows — text never moves); span measurement
+    gathers only the candidate docs' texts (:func:`gather_texts`, anomaly-
+    sized by construction) and runs the vectorized sparse-table binary
+    search per pair. Per-pair cost is O((n+m) log n log L); the pair loop is
+    candidate-sized, never corpus-sized. Tokenization is single-space (SQL
+    ``string_split`` semantics) so the run lengths match the
+    gaps-and-islands SQL oracle exactly."""
+    edges = gram_edges(ds, text_col, id_col, n=min_tokens, n_parts=n_parts, cap=cap)
+    if not len(edges):
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "max_run": pd.Series(dtype="int64")}
+        )
+    ids = np.unique(np.r_[edges["id_a"].to_numpy(), edges["id_b"].to_numpy()])
+    texts = gather_texts(ds, id_col, text_col, ids)
+    th = {
+        i: hash_strings(np.array(t.split(" "), dtype=object))
+        for i, t in zip(texts[id_col], texts[text_col])
+    }
+    runs = [
+        longest_shared_run(th[a], th[b], min_tokens)
+        for a, b in zip(edges["id_a"], edges["id_b"])
+    ]
+    out = pd.DataFrame(
+        {"id_a": edges["id_a"], "id_b": edges["id_b"], "max_run": np.asarray(runs, dtype=np.int64)}
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -254,3 +254,58 @@ def test_bucketed_left_join_consistent_schema(ray_session):
     matched = out[out.k % 2 == 0]
     assert (matched.sort_values("k").rv.to_numpy() == np.arange(500)).all()
     assert out[out.k % 2 == 1].rv.isna().all()
+
+
+def test_longest_shared_run_matches_brute_force():
+    """Randomized exactness: planted shared runs of known length, verified
+    against an O(n*m) token-level brute force."""
+    from teleharvest_ray.functions.hashing import hash_strings
+    from teleharvest_ray.stages.dedup import longest_shared_run
+
+    def brute(a, b):
+        wa, wb = a.split(" "), b.split(" ")
+        best = 0
+        for i in range(len(wa)):
+            for j in range(len(wb)):
+                k = 0
+                while i + k < len(wa) and j + k < len(wb) and wa[i + k] == wb[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    for trial in range(60):
+        na, nb = rng.integers(1, 50, 2)
+        wa = [vocab[i] for i in rng.integers(0, 25, na)]
+        wb = [vocab[i] for i in rng.integers(0, 25, nb)]
+        if trial % 2 == 0:
+            run = [vocab[i] for i in rng.integers(0, 25, int(rng.integers(1, 15)))]
+            pa_, pb = int(rng.integers(0, na)), int(rng.integers(0, nb))
+            wa = wa[:pa_] + run + wa[pa_:]
+            wb = wb[:pb] + run + wb[pb:]
+        a, b = " ".join(wa), " ".join(wb)
+        got = longest_shared_run(
+            hash_strings(np.array(a.split(" "), dtype=object)),
+            hash_strings(np.array(b.split(" "), dtype=object)),
+            lo=0,
+        )
+        assert got == brute(a, b), (trial, a, b)
+
+
+def test_shared_span_pairs_end_to_end(ray_session):
+    """Planted 10-token run across two docs is found with its exact length;
+    unrelated docs produce no pair."""
+    import ray.data as rd
+    from teleharvest_ray.stages.dedup import shared_span_pairs
+
+    run = " ".join(f"r{i}" for i in range(10))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [f"alpha beta {run} gamma", f"start {run} end here", "totally different words only"],
+        }
+    )
+    out = shared_span_pairs(rd.from_pandas(df), "text", "doc_id", min_tokens=8)
+    assert len(out) == 1
+    assert (int(out.id_a[0]), int(out.id_b[0]), int(out.max_run[0])) == (1, 2, 10)
