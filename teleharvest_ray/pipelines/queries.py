@@ -2330,6 +2330,62 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Delta-vs-corpus near-dup check (pipelines/dedup_index.py): the
+    even-doc_id half is indexed (persisted LSH banded table, text never
+    stored), the odd half is checked against it — ONE shuffle pairs the
+    delta's banded rows with the stored ones, only CROSS pairs verify.
+    Oracle: exact all-pairs gram Jaccard >= 0.8 restricted to cross-parity
+    pairs (same certified 21x3 banding as q_minhash_pairs)."""
+    from . import dedup_index as di
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def side(parity: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            n_tok = pc.count_substring_regex(tbl["text"], pattern=r"\S+")
+            keep = pc.and_(
+                pc.greater_equal(pc.fill_null(n_tok, 0), 3),
+                pc.equal(
+                    pc.subtract(tbl["doc_id"], pc.multiply(pc.divide(tbl["doc_id"], 2), 2)),
+                    parity,
+                ),
+            )
+            return tbl.filter(keep)
+
+        return fn
+
+    old = ds.map_batches(side(0), batch_format="pyarrow", batch_size=None)
+    new = ds.map_batches(side(1), batch_format="pyarrow", batch_size=None)
+    idx = os.path.join(_OUT_ROOT, f"minhash_index_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(idx, ignore_errors=True)
+    di.build_minhash_index(old, "text", "doc_id", idx)
+    out = di.dedup_against_index(new, old, "text", "doc_id", idx)
+    out["jaccard"] = out["jaccard"].round(6)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out
+
+
+QUERIES["q_incremental_dedup"] = q_incremental_dedup
+ORACLE_SQL["q_incremental_dedup"] = """
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+               WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+          FROM d),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM gd a JOIN gd b USING (gram)
+              WHERE a.doc_id < b.doc_id AND (a.doc_id % 2) <> (b.doc_id % 2)
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8 ORDER BY id_a, id_b
+"""
+
+
 _SPAN_MIN_TOKENS = 8
 
 

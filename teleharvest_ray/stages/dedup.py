@@ -107,19 +107,17 @@ def minhash_signatures(
     return sig
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     ds: Dataset,
     text_col: str,
     id_col: str,
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
-    n_parts: int = 32,
-) -> pd.DataFrame:
-    """Candidate near-dup pairs via banding: docs sharing any band bucket.
-    Returns a DataFrame (id_a, id_b) with id_a < id_b, deduplicated. Pairing
-    is distributed (see :func:`_bucket_pairs_distributed`): the shuffle
-    carries (band, bh, id) rows only; size ``n_parts`` to the cluster."""
+) -> Dataset:
+    """The LSH banded table as a Dataset: ``bands`` rows of
+    (band, bh, id) per doc — the shuffle/persist unit for near-dup pairing
+    (text never leaves the signature tasks)."""
     rows_per_band = n_hashes // bands
 
     def to_bands(tbl: pa.Table) -> pa.Table:
@@ -143,7 +141,23 @@ def minhash_lsh_candidates(
             }
         )
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    return ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    n_parts: int = 32,
+) -> pd.DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band bucket.
+    Returns a DataFrame (id_a, id_b) with id_a < id_b, deduplicated. Pairing
+    is distributed (see :func:`_bucket_pairs_distributed`): the shuffle
+    carries (band, bh, id) rows only; size ``n_parts`` to the cluster."""
+    banded = minhash_banded(ds, text_col, id_col, n_hashes, bands, shingle)
     return _bucket_pairs_distributed(banded, ["band", "bh"], id_col, n_parts=n_parts)
 
 
