@@ -2330,6 +2330,81 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+def q_prepare_corpus(sf_dir: str) -> pd.DataFrame:
+    """Flagship training-data preparation (pipelines/prepare.py): quality
+    gate -> decontamination -> near-dup collapse -> token packing -> split
+    export, every stage a streaming Dataset transform. The certified output
+    is the stage-retention manifest — each retained count and the final
+    token total are recomputed independently in SQL from the same gates, so
+    a silently-dropping (or silently-keeping) stage hash-fails."""
+    from . import prepare as pr
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = os.path.join(_OUT_ROOT, f"prepared_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    m = pr.prepare_training_shards(docs, out)
+    return pd.DataFrame(
+        [
+            {
+                "n_input": m["n_input"],
+                "n_quality": m["n_quality"],
+                "n_clean": m["n_clean"],
+                "n_final": m["n_final"],
+                "total_tokens": m["total_tokens"],
+            }
+        ]
+    ).astype("int64")
+
+
+QUERIES["q_prepare_corpus"] = q_prepare_corpus
+ORACLE_SQL["q_prepare_corpus"] = """
+    WITH RECURSIVE
+    raw AS (SELECT doc_id, text FROM documents),
+    pool AS (SELECT * FROM raw WHERE doc_id % 13 <> 0),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM pool),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+    dw AS (SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT word) AS n_dist
+           FROM tok GROUP BY doc_id),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS g
+               FROM d)
+            GROUP BY doc_id, g),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bgc GROUP BY doc_id),
+    qual AS (SELECT p.doc_id, p.text FROM pool p
+             LEFT JOIN dw USING (doc_id) LEFT JOIN top USING (doc_id)
+             WHERE COALESCE(1 - dw.n_dist::DOUBLE / dw.n_tok, 0.0) <= 0.625
+               AND COALESCE(top.mx::DOUBLE / top.tot, 0.0) <= 0.05
+               AND COALESCE(dw.n_tok, 0) >= 2),
+    bench_grams AS (SELECT DISTINCT gram FROM
+        (SELECT unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+         FROM (SELECT string_split(text, ' ') AS ws FROM raw WHERE doc_id % 13 = 0))),
+    qg AS (SELECT doc_id,
+                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM qual)),
+    contaminated AS (SELECT DISTINCT qg.doc_id FROM qg JOIN bench_grams USING (gram)),
+    clean AS (SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    cg AS (SELECT DISTINCT doc_id, gram FROM
+        (SELECT doc_id,
+                unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM clean))),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM cg a JOIN cg b USING (gram)
+          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+    reach AS (SELECT doc_id AS node, doc_id AS label FROM clean
+              UNION
+              SELECT e.v AS node, reach.label AS label
+              FROM reach JOIN e ON e.u = reach.node WHERE reach.label < e.v),
+    lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    final AS (SELECT c.doc_id, c.text FROM clean c
+              JOIN lab ON lab.node = c.doc_id WHERE lab.node = lab.cluster_id)
+    SELECT (SELECT COUNT(*) FROM raw) AS n_input,
+           (SELECT COUNT(*) FROM qual) AS n_quality,
+           (SELECT COUNT(*) FROM clean) AS n_clean,
+           (SELECT COUNT(*) FROM final) AS n_final,
+           (SELECT COALESCE(SUM(len(regexp_extract_all(text, '\\S+'))), 0) FROM final)::BIGINT AS total_tokens
+"""
+
+
 def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Delta-vs-corpus near-dup check (pipelines/dedup_index.py): the
     even-doc_id half is indexed (persisted LSH banded table, text never
