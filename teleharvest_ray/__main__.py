@@ -78,6 +78,14 @@ def main(argv=None):
     cp.add_argument("--no-resume", action="store_true")
     cp.add_argument("--prefix", default="", help="only compact files starting with this prefix")
 
+    pr = sub.add_parser(
+        "prepare", help="training-data prep: quality -> decontam -> dedup -> pack -> split export"
+    )
+    pr.add_argument("--data", required=True, help="parquet of (doc_id, text) documents")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--token-budget", type=int, default=2048)
+    pr.add_argument("--bench-mod", type=int, default=13, help="doc_id %% MOD == 0 is the held-out eval set")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -124,6 +132,19 @@ def main(argv=None):
             from teleharvest_ray.pipelines.refresh import refresh_metrics
 
             print(json.dumps(refresh_metrics(args.data, args.out, cfg, window=args.window)))
+        elif args.cmd == "prepare":
+            import ray.data as rd
+
+            from teleharvest_ray.pipelines.prepare import prepare_training_shards
+
+            docs = rd.read_parquet(args.data, columns=["doc_id", "text"])
+            print(
+                json.dumps(
+                    prepare_training_shards(
+                        docs, args.out, token_budget=args.token_budget, bench_mod=args.bench_mod
+                    )
+                )
+            )
         elif args.cmd == "compact":
             from teleharvest_ray.pipelines.compact import compact_parquet
 
