@@ -112,6 +112,8 @@ def main() -> None:
     run("q_join_orders_customer", q.q_join_orders_customer)
     run("q_minhash_pairs", q.q_minhash_pairs)
     run("q_similarity_topk", q.q_similarity_topk)
+    run("q_shared_spans", q.q_shared_spans)
+    run("q_prepare_corpus", q.q_prepare_corpus)
 
     headline = timings["validate_transcripts"]
     out = {
