@@ -2330,6 +2330,46 @@ ORACLE_SQL["q_sorted_ranks"] = """
     WHERE rk % 997 = 1 ORDER BY rk
 """
 
+def q_group_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-group approx-distinct certified against the per-group exact count
+    (stages/stats.grouped_hll_distinct — sketch blobs shuffle, keys never
+    do). Oracle pins every group's n_exact (SQL COUNT DISTINCT) and
+    within_3sigma=1; an out-of-bound sketch in ANY group hash-fails."""
+    from ..stages.stats import grouped_hll_distinct
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def clean(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.and_(pc.is_valid(tbl["event_type"]), pc.is_valid(tbl["user_id"])))
+
+    ds = ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+    est = grouped_hll_distinct(ds, "event_type", "user_id", p=14).to_pandas()
+    # exact reference: two-level distributed distinct (group,key) -> count
+    exact = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_exact"))
+        .to_pandas()
+    )
+    out = exact.merge(est, on="event_type")
+    sigma3 = 3 * 1.04 / np.sqrt(2**14)
+    out["within_3sigma"] = (
+        (out["estimate"] - out["n_exact"]).abs() / out["n_exact"] <= sigma3
+    ).astype("int64")
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return out[["event_type", "n_exact", "within_3sigma"]].sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["q_group_distinct_hll"] = q_group_distinct_hll
+ORACLE_SQL["q_group_distinct_hll"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+           CAST(1 AS BIGINT) AS within_3sigma
+    FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_prepare_corpus(sf_dir: str) -> pd.DataFrame:
     """Flagship training-data preparation (pipelines/prepare.py): quality
     gate -> decontamination -> near-dup collapse -> token packing -> split
@@ -2538,6 +2578,47 @@ ORACLE_SQL["q_ntile_bins"] = """
                  NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
           FROM lineitem)
     GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_zorder_ranks(sf_dir: str) -> pd.DataFrame:
+    """Z-order data-layout audit: every 997th global rank of lineitem under
+    ORDER BY morton(l_partkey, l_suppkey) — the locality-preserving
+    multi-column clustering key (stages/ordering.morton_interleave +
+    global_ranks). Oracle recomputes the interleave bit-exactly as a SQL
+    list-comprehension sum."""
+    from ..stages import ordering as od
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    z = od.morton_interleave(ds, ["l_partkey", "l_suppkey"], out_col="zorder")
+    out = od.global_ranks(
+        z,
+        key="zorder",
+        tiebreak=["l_orderkey", "l_linenumber"],
+        n_ranges=32,
+        keep=["l_partkey", "l_suppkey", "zorder"],
+        every=997,
+    ).to_pandas()
+    for c in ("rk", "l_partkey", "l_suppkey", "zorder"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("rk").reset_index(drop=True)[
+        ["rk", "l_partkey", "l_suppkey", "zorder"]
+    ]
+
+
+QUERIES["q_zorder_ranks"] = q_zorder_ranks
+ORACLE_SQL["q_zorder_ranks"] = """
+    SELECT rk, l_partkey, l_suppkey, zorder FROM (
+      SELECT l_partkey, l_suppkey, zorder,
+             ROW_NUMBER() OVER (ORDER BY zorder, l_orderkey, l_linenumber) AS rk
+      FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   list_sum([(l_partkey >> i & 1) * (CAST(1 AS BIGINT) << (2*i))
+                             + (l_suppkey >> i & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
+                             FOR i IN generate_series(0, 20)]) AS zorder
+            FROM lineitem))
+    WHERE rk % 997 = 1 ORDER BY rk
 """
 
 

@@ -221,3 +221,39 @@ def ntile_buckets(
         return tbl.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     return ranks.map_batches(tag, batch_format="pyarrow")
+
+
+def _spread_bits2(x: np.ndarray) -> np.ndarray:
+    """Insert a zero bit between each of the low 32 bits (uint64 in/out)."""
+    m = np.uint64
+    x = x & m(0xFFFFFFFF)
+    x = (x | (x << m(16))) & m(0x0000FFFF0000FFFF)
+    x = (x | (x << m(8))) & m(0x00FF00FF00FF00FF)
+    x = (x | (x << m(4))) & m(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << m(2))) & m(0x3333333333333333)
+    x = (x | (x << m(1))) & m(0x5555555555555555)
+    return x
+
+
+def morton_interleave(ds: Dataset, cols: list[str], out_col: str = "zorder", bits: int = 21) -> Dataset:
+    """Z-order (Morton) clustering key over two non-negative integer
+    columns: bit-interleaved so rows close in BOTH dimensions sort near each
+    other — the standard multi-column data-layout key (sort + range export
+    on it gives locality-preserving files whose min/max footer stats prune
+    scans on EITHER column). Pure per-batch bit arithmetic, no shuffle; feed
+    the result to :func:`global_ranks` / :func:`export_sorted_ranges`.
+    Inputs must fit ``bits`` bits (the interleaved key must fit int64);
+    out-of-range values raise rather than silently aliasing."""
+    if len(cols) != 2:
+        raise ValueError("morton_interleave takes exactly two columns")
+    lim = 1 << bits
+
+    def add_z(tbl: pa.Table) -> pa.Table:
+        a = tbl[cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.min() < 0 or b.min() < 0 or a.max() >= lim or b.max() >= lim):
+            raise ValueError(f"morton inputs must be in [0, 2^{bits})")
+        z = _spread_bits2(a.view(np.uint64)) | (_spread_bits2(b.view(np.uint64)) << np.uint64(1))
+        return tbl.append_column(out_col, pa.array(z.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(add_z, batch_format="pyarrow", batch_size=None)

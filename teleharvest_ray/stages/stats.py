@@ -242,3 +242,35 @@ def _kll_rel_delta(a, b, q: float) -> float:
     if a is None or b is None or a.n == 0 or b.n == 0:
         return float("nan")
     return _rel_delta(float(a.quantile(q)), float(b.quantile(q)))
+
+
+def grouped_hll_distinct(ds, group_col: str, key_col: str, p: int = 14):
+    """Per-group approximate distinct count: each batch emits one HLL blob
+    per (block, group) — the shuffle carries 2^p-byte sketches, never the
+    keys — and ONE groupby(group) merges them associatively. The scale path
+    for per-group COUNT(DISTINCT) when the distinct key set is itself
+    fact-sized (contrast the exact two-level groupby, which shuffles every
+    distinct (group, key) pair). Relative error 1.04/sqrt(2^p)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gval, sub in batch.groupby(group_col, sort=False, dropna=True):
+            h = HyperLogLog(p=p)
+            vals = sub[key_col].dropna().to_numpy()
+            if len(vals):
+                if np.issubdtype(vals.dtype, np.number):
+                    h.update_ints(vals.astype(np.int64))
+                else:
+                    h.update_strings(vals.astype(object))
+            rows.append({group_col: gval, "blob": h.to_bytes()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(2)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p=p)
+        for b in g["blob"]:
+            h.merge(HyperLogLog.from_bytes(b))
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "estimate": [h.estimate()]})
+
+    return parts.groupby(group_col).map_groups(merge_group, batch_format="pandas")

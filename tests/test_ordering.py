@@ -146,3 +146,43 @@ def test_ntile_matches_semantics(ray_session):
     assert out.groupby("bucket")["k"].max().is_monotonic_increasing
     small = ntile_buckets(rd.from_pandas(df.head(3)), "k", ["t"], n_buckets=5).to_pandas()
     assert sorted(small["bucket"]) == [1, 2, 3]
+
+
+def test_morton_interleave_properties(ray_session):
+    """Bit-exact vs per-bit reference; locality: the z-curve of a 2x2 block
+    is contiguous; out-of-range input raises."""
+    import ray.data as rd
+    from teleharvest_ray.stages.ordering import morton_interleave
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 1 << 21, 200).astype(np.int64)
+    b = rng.integers(0, 1 << 21, 200).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": a, "y": b}))
+    got = morton_interleave(ds, ["x", "y"], out_col="z").to_pandas()
+
+    def ref(x, y):
+        return sum(((int(x) >> i & 1) << (2 * i)) | ((int(y) >> i & 1) << (2 * i + 1)) for i in range(21))
+
+    assert all(ref(x, y) == z for x, y, z in zip(got.x, got.y, got.z))
+    # locality: (0,0),(1,0),(0,1),(1,1) are ranks 0..3 of the curve
+    quad = morton_interleave(
+        rd.from_pandas(pd.DataFrame({"x": [0, 1, 0, 1], "y": [0, 0, 1, 1]})), ["x", "y"], "z"
+    ).to_pandas()
+    assert list(quad.z) == [0, 1, 2, 3]
+    bad = rd.from_pandas(pd.DataFrame({"x": [1 << 21], "y": [0]}))
+    with pytest.raises(Exception, match="morton"):
+        morton_interleave(bad, ["x", "y"]).materialize()
+
+
+def test_grouped_hll_matches_exact_within_bounds(ray_session):
+    import ray.data as rd
+    from teleharvest_ray.stages.stats import grouped_hll_distinct
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 30_000), "k": rng.integers(0, 5_000, 30_000)}
+    )
+    est = grouped_hll_distinct(rd.from_pandas(df).repartition(8), "g", "k").to_pandas()
+    exact = df.groupby("g").k.nunique()
+    for _, r in est.iterrows():
+        assert abs(r["estimate"] - exact[r["g"]]) / exact[r["g"]] <= 3 * 1.04 / np.sqrt(2**14)
