@@ -97,7 +97,10 @@ def prepare_training_shards(
     packed = sp.pack_sequences(with_tokens, id_col, "tokens", budget=token_budget)
 
     split_fracs = split_fracs or {"train": 0.95, "val": 0.05}
-    assigned = sp.hash_split(packed, id_col, split_fracs, seed=split_seed)
+    # split by SHARD, not by doc: a packed shard is the training unit, so all
+    # of its docs must land in the same split (doc-keyed hashing would tear
+    # shards across train/val)
+    assigned = sp.hash_split(packed, "shard_id", split_fracs, seed=split_seed)
     assigned.write_parquet(out_dir, partition_cols=["split"])
 
     from ray.data.aggregate import Sum

@@ -44,3 +44,9 @@ def test_prepare_stages_and_export(ray_session, tmp_path):
     per_shard = exported.groupby("shard_id").agg(n=("doc_id", "size"), t=("tokens", "sum"))
     assert ((per_shard.n == 1) | (per_shard.t <= 64)).all()
     assert m["total_tokens"] == int(exported.tokens.sum())
+    # a shard is the training unit: it must never straddle splits
+    split_of = {}
+    for f in files:
+        split = f.split("split=")[1].split("/")[0]
+        for sid in pq.read_table(f).to_pandas().shard_id.unique():
+            assert split_of.setdefault(sid, split) == split, sid
