@@ -97,3 +97,70 @@ class ShardedBloom:
         if not len(arr):
             return np.zeros(0, dtype=bool)
         return self.contains_hashes(hash_strings(arr))
+
+
+def build_bloom_from_hashes(
+    hashed,
+    n_total: int,
+    fpp: float = 0.01,
+    shard_threshold: int = 5_000_000,
+):
+    """Distributed Bloom build over a Dataset with one column ``h`` — 64-bit
+    key hashes stored as int64. The shared core of the orphan-index build
+    (stages/keyspace.py) and the Bloom-prefiltered join (stages/joins.py).
+
+    Up to ``shard_threshold`` keys: each BLOCK builds a partial filter with
+    identical ``(n_total, fpp)`` params (bit arrays OR-merge associatively —
+    the sketch-merge shape) and the driver folds the streamed partials; peak
+    driver memory = two bit arrays. Above it: hashes are routed to shards
+    (ONE 8-byte/row groupby shuffle), each shard's filter is sized for
+    ~n/S items, and the driver receives each shard's bits exactly once —
+    per-task memory and total driver ingress stay shard-sized instead of
+    n_blocks x full-filter-size. Returns :class:`BloomFilter` or
+    :class:`ShardedBloom` (same ``contains_hashes`` probe)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if n_total == 0:
+        return BloomFilter(n_total, fpp)
+
+    if n_total > shard_threshold:
+        n_shards = int(min(256, n_total // shard_threshold + 1))
+        per_shard = n_total // n_shards + 1
+
+        def add_shard(tbl: pa.Table) -> pa.Table:
+            h = tbl["h"].to_numpy(zero_copy_only=False).view(_U64)
+            return pa.table(
+                {"shard": pa.array((h % _U64(n_shards)).astype(np.int64)), "h": tbl["h"]}
+            )
+
+        def build_shard(g: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter(per_shard, fpp)
+            bf.add_hashes(g["h"].to_numpy().astype(np.int64).view(_U64))
+            return pd.DataFrame(
+                {"shard": [int(g["shard"].iloc[0])], "bits": [bf.bits.tobytes()]}
+            )
+
+        rows = (
+            hashed.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(build_shard, batch_format="pandas")
+            .to_pandas()  # n_shards rows, one blob each
+        )
+        shards = [BloomFilter(per_shard, fpp) for _ in range(n_shards)]
+        for sid, blob in zip(rows["shard"], rows["bits"]):
+            shards[int(sid)].bits = np.frombuffer(blob, dtype=np.uint8).copy()
+        return ShardedBloom(shards)
+
+    final = BloomFilter(n_total, fpp)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_total, fpp)  # identical params in every task
+        bf.add_hashes(tbl["h"].to_numpy(zero_copy_only=False).view(_U64))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = hashed.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for blob in b["bits"].to_pylist():
+            np.bitwise_or(final.bits, np.frombuffer(blob, dtype=np.uint8), out=final.bits)
+    return final

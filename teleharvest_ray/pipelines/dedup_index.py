@@ -59,8 +59,22 @@ def build_minhash_index(
     bands: int = 21,
     shingle: int = 3,
 ) -> dict:
-    """Persist the corpus's LSH banded table; returns the stamped meta."""
-    os.makedirs(os.path.join(index_dir, _DATA_SUBDIR), exist_ok=True)
+    """Persist the corpus's LSH banded table; returns the stamped meta.
+
+    Refuses a non-empty store: parquet writes APPEND (unique filenames —
+    exactly what :func:`append_to_index` relies on), so rebuilding over an
+    old index would silently union stale banded rows from the previous
+    corpus. Point a rebuild at a fresh directory (or remove the old one
+    explicitly)."""
+    data_dir = os.path.join(index_dir, _DATA_SUBDIR)
+    os.makedirs(data_dir, exist_ok=True)
+    stale = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    if stale:
+        raise FileExistsError(
+            f"{data_dir} already holds {len(stale)} banded file(s); "
+            "build_minhash_index never overwrites — use append_to_index to add "
+            "a delta, or remove the directory to rebuild"
+        )
     banded = dd.minhash_banded(ds, text_col, id_col, n_hashes, bands, shingle)
     banded.write_parquet(os.path.join(index_dir, _DATA_SUBDIR))
     meta = {

@@ -93,7 +93,10 @@ def prepare_training_shards(
         toks = pc.fill_null(pc.count_substring_regex(tbl[text_col], pattern=r"\S+"), 0)
         return pa.table({id_col: tbl[id_col], "tokens": toks.cast(pa.int64())})
 
-    with_tokens = final.map_batches(add_tokens, batch_format="pyarrow")
+    # materialized so the token total and the packed export each consume the
+    # SAME computed blocks — without it both sinks re-run add_tokens (and
+    # the export re-runs packing) over the full corpus
+    with_tokens = final.map_batches(add_tokens, batch_format="pyarrow").materialize()
     packed = sp.pack_sequences(with_tokens, id_col, "tokens", budget=token_budget)
 
     split_fracs = split_fracs or {"train": 0.95, "val": 0.05}
@@ -105,7 +108,9 @@ def prepare_training_shards(
 
     from ray.data.aggregate import Sum
 
-    tot = packed.aggregate(Sum("tokens", alias_name="t"))
+    # shard-independent total: read it from the materialized token table so
+    # the packing map runs exactly once (for the export above)
+    tot = with_tokens.aggregate(Sum("tokens", alias_name="t"))
     return {
         "n_input": int(n_input),
         "n_bench_heldout": int(bench.count()),

@@ -117,13 +117,18 @@ def minhash_banded(
 ) -> Dataset:
     """The LSH banded table as a Dataset: ``bands`` rows of
     (band, bh, id) per doc — the shuffle/persist unit for near-dup pairing
-    (text never leaves the signature tasks)."""
+    (text never leaves the signature tasks). Docs with NO shingles (fewer
+    than ``shingle`` tokens, or null text) are dropped here: their
+    signatures are all-max sentinels, so banding them would pair every
+    short doc with every other short doc at a fake Jaccard of 1.0."""
     rows_per_band = n_hashes // bands
 
     def to_bands(tbl: pa.Table) -> pa.Table:
         texts = np.asarray(tbl[text_col].to_pandas(), dtype=object)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, n_hashes, shingle)
+        has_shingles = ~(sig == np.iinfo(np.uint64).max).all(axis=1)
+        texts, ids, sig = texts[has_shingles], ids[has_shingles], sig[has_shingles]
         band_hashes = np.empty((len(texts), bands), dtype=np.uint64)
         for bnd in range(bands):
             chunk = sig[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
@@ -344,7 +349,11 @@ def verify_pairs_jaccard(
     # per-doc UNIQUE shingle sets, stored contiguously per doc
     order = np.lexsort((sh, rows))
     rows, sh = rows[order], sh[order]
-    dup = np.r_[False, (rows[1:] == rows[:-1]) & (sh[1:] == sh[:-1])]
+    dup = (
+        np.r_[False, (rows[1:] == rows[:-1]) & (sh[1:] == sh[:-1])]
+        if len(rows)
+        else np.empty(0, bool)
+    )
     rows, sh = rows[~dup], sh[~dup]
     sizes = np.bincount(rows, minlength=len(uids))
     starts = np.searchsorted(rows, np.arange(len(uids)))

@@ -186,8 +186,8 @@ def bloom_prefiltered_join(
 ) -> Dataset:
     """INNER bucketed join where ``right`` is selective but past broadcast
     budget: a Bloom filter over right's join keys is built distributed
-    (per-block partials with identical ``(n, fpp)`` params OR-merge
-    associatively — the sketch-merge shape), broadcast ONCE via ``ray.put``
+    (functions/bloom.build_bloom_from_hashes — per-block partial OR-merge
+    under 5M keys, hash-routed ShardedBloom above), broadcast ONCE via ``ray.put``
     (~1.8 MB per million keys at 0.1% FPP, vs shipping the keys), and left
     rows whose key CANNOT match are dropped before the join's all-to-all
     shuffle — exchange volume becomes ~|matching left| + fpp·|left| instead
@@ -197,21 +197,19 @@ def bloom_prefiltered_join(
     only by construction: outer joins need the unmatched rows this filter
     exists to drop.
     """
-    from ..functions.bloom import BloomFilter
+    from ..functions.bloom import build_bloom_from_hashes
 
     right = right.materialize()
     n_keys = max(right.count(), 1)
-    merged = BloomFilter(n_keys, fpp)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter(n_keys, fpp)  # identical params in every task
-        bf.add_hashes(_key_hash(batch[on].to_numpy()))
-        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+    def to_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": _key_hash(batch[on].to_numpy()).astype(np.int64)})
 
-    # driver folds streamed filter-sized partials; key values never leave
-    # the tasks (the build_bloom_index shape, stages/keyspace.py)
-    for row in right.map_batches(partial, batch_format="pandas").iter_rows():
-        np.bitwise_or(merged.bits, np.frombuffer(row["bits"], dtype=np.uint8), out=merged.bits)
+    # key values never leave the tasks; the shared builder emits one partial
+    # per BLOCK under 5M keys and switches to the hash-routed ShardedBloom
+    # build above it (per-task memory and driver ingress stay shard-sized)
+    hashed = right.map_batches(to_hashes, batch_format="pandas", batch_size=None)
+    merged = build_bloom_from_hashes(hashed, n_keys, fpp)
     bf_ref = ray.put(merged)
 
     def prefilter(batch: pd.DataFrame) -> pd.DataFrame:

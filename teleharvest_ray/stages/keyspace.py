@@ -271,18 +271,12 @@ _BLOOM_SHARD_IDS = 5_000_000
 
 
 def build_bloom_index(index_path: str, fpp: float = 0.01):
-    """Distributed Bloom build over a conversations-index parquet. Under
-    :data:`_BLOOM_SHARD_IDS` ids: each block builds a PARTIAL filter
-    (identical ``(n_items, fpp)`` params, so the bit arrays OR-merge
-    associatively — the sketch-merge shape) and the driver folds the streamed
-    partials into ONE filter (driver peak = two bit arrays). Above it: ids
-    are hash-routed to shards (ONE 8-byte/row groupby shuffle), each shard
-    builds a filter sized for ~n/S items, and the driver collects each
-    shard's bits exactly once — per-task memory and total driver ingress are
-    shard-sized, independent of block count (the monolithic partial shape
-    would allocate a full-size filter per task and ship n_blocks full-size
-    blobs). The id strings never leave the tasks on either path; total row
-    count comes from a footer-only read.
+    """Distributed Bloom build over a conversations-index parquet: hash the
+    id strings per block (the ids never leave the tasks), then delegate to
+    the shared builder (functions/bloom.build_bloom_from_hashes) — partial
+    OR-merge under :data:`_BLOOM_SHARD_IDS` ids, hash-routed shard build
+    above it (per-task memory and driver ingress stay shard-sized). Total
+    row count comes from a footer-only read.
 
     Reference analog: the published-set snapshot load
     (``/root/reference/models/message.py:112-126``), which materializes the
@@ -290,56 +284,19 @@ def build_bloom_index(index_path: str, fpp: float = 0.01):
     import pyarrow.parquet as _pq
     import ray.data as _rd
 
-    from ..functions.bloom import BloomFilter, ShardedBloom
+    from ..functions.bloom import build_bloom_from_hashes
     from ..functions.hashing import hash_strings as _hs
 
     n_total = _pq.ParquetFile(index_path).metadata.num_rows
-    if n_total == 0:
-        return BloomFilter(n_total, fpp)
 
-    if n_total > _BLOOM_SHARD_IDS:
-        n_shards = int(min(256, n_total // _BLOOM_SHARD_IDS + 1))
-        per_shard = n_total // n_shards + 1
+    def to_hashes(tbl: pa.Table) -> pa.Table:
+        h = _hs(np.asarray(tbl["conv_id"].to_pandas(), dtype=object))
+        return pa.table({"h": pa.array(h.astype(np.int64))})
 
-        def to_hashes(tbl: pa.Table) -> pa.Table:
-            h = _hs(np.asarray(tbl["conv_id"].to_pandas(), dtype=object))
-            return pa.table(
-                {"shard": (h % np.uint64(n_shards)).astype(np.int64), "h": h}
-            )
-
-        def build_shard(g: pd.DataFrame) -> pd.DataFrame:
-            bf = BloomFilter(per_shard, fpp)
-            bf.add_hashes(g["h"].to_numpy().astype(np.uint64))
-            return pd.DataFrame(
-                {"shard": [int(g["shard"].iloc[0])], "bits": [bf.bits.tobytes()]}
-            )
-
-        rows = (
-            _rd.read_parquet(index_path, columns=["conv_id"])
-            .map_batches(to_hashes, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(build_shard, batch_format="pandas")
-            .to_pandas()  # n_shards rows, one blob each
-        )
-        shards = [BloomFilter(per_shard, fpp) for _ in range(n_shards)]
-        for sid, blob in zip(rows["shard"], rows["bits"]):
-            shards[int(sid)].bits = np.frombuffer(blob, dtype=np.uint8).copy()
-        return ShardedBloom(shards)
-
-    final = BloomFilter(n_total, fpp)
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        bf = BloomFilter(n_total, fpp)  # same params in every task
-        bf.add_hashes(_hs(np.asarray(tbl["conv_id"].to_pandas(), dtype=object)))
-        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
-
-    parts = _rd.read_parquet(index_path, columns=["conv_id"]).map_batches(
-        partial, batch_format="pyarrow", batch_size=None
+    hashed = _rd.read_parquet(index_path, columns=["conv_id"]).map_batches(
+        to_hashes, batch_format="pyarrow", batch_size=None
     )
-    for b in parts.iter_batches(batch_size=1, batch_format="pyarrow"):
-        for blob in b["bits"].to_pylist():
-            np.bitwise_or(final.bits, np.frombuffer(blob, dtype=np.uint8), out=final.bits)
-    return final
+    return build_bloom_from_hashes(hashed, n_total, fpp, shard_threshold=_BLOOM_SHARD_IDS)
 
 
 def _membership_checker(known_conv_ids, cfg: ValidationConfig):

@@ -202,13 +202,30 @@ def ntile_buckets(
     the bucket tagging don't re-execute the sort. The usual consumer is a
     per-bucket aggregate (quantile-binned curriculum stats), which is
     n_buckets-sized."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        # typed empty (global_ranks' boundary sampler needs at least one row)
+        import ray.data as _rd
+
+        sch = ds.schema()
+        try:
+            ktype = dict(zip(sch.names, sch.types))[key]
+            kdtype = ktype.to_pandas_dtype() if isinstance(ktype, pa.DataType) else ktype
+        except Exception:
+            kdtype = "float64"
+        # from_pandas, not from_arrow: a zero-row arrow block loses its
+        # schema through this Ray version's to_pandas
+        return _rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "rk": pd.Series(dtype="int64"),
+                    key: pd.Series(dtype=kdtype),
+                    "bucket": pd.Series(dtype="int64"),
+                }
+            )
+        )
     ranks = global_ranks(ds, key, tiebreak, n_ranges=n_ranges, keep=[key]).materialize()
     n = ranks.count()
-    if n == 0:
-        return ranks.map_batches(
-            lambda t: t.append_column("bucket", pa.array([], pa.int64())),
-            batch_format="pyarrow",
-        )
     q, r = divmod(n, n_buckets)
 
     def tag(tbl: pa.Table) -> pa.Table:
@@ -243,9 +260,14 @@ def morton_interleave(ds: Dataset, cols: list[str], out_col: str = "zorder", bit
     scans on EITHER column). Pure per-batch bit arithmetic, no shuffle; feed
     the result to :func:`global_ranks` / :func:`export_sorted_ranges`.
     Inputs must fit ``bits`` bits (the interleaved key must fit int64);
-    out-of-range values raise rather than silently aliasing."""
+    out-of-range values raise rather than silently aliasing. ``bits`` is
+    capped at 31: the spread kernel reads 32 bits per input and the
+    interleaved key must stay a non-negative int64, so bits > 31 would
+    alias or sign-wrap silently — the contract this function refuses."""
     if len(cols) != 2:
         raise ValueError("morton_interleave takes exactly two columns")
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     lim = 1 << bits
 
     def add_z(tbl: pa.Table) -> pa.Table:

@@ -265,7 +265,13 @@ def grouped_hll_distinct(ds, group_col: str, key_col: str, p: int = 14):
             rows.append({group_col: gval, "blob": h.to_bytes()})
         return pd.DataFrame(rows)
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(2)
+    # coalesce width sized from the MEASURED partial count (the olap.py
+    # pattern): one (block x group) blob is 2^p bytes, so many groups over
+    # many blocks must not funnel through two giant partitions, while a few
+    # groups over many blocks must not emit empty schema-less blocks
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
+    width = int(min(512, max(2, parts.count() // 50_000 + 1)))
+    parts = parts.repartition(width)
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         h = HyperLogLog(p=p)

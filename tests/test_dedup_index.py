@@ -78,3 +78,23 @@ def test_mismatched_id_col_fails_loudly(ray_session, tmp_path):
     di.build_minhash_index(rd.from_pandas(old), "text", "doc_id", idx)
     with pytest.raises(ValueError, match="id column"):
         di.dedup_against_index(rd.from_pandas(old), rd.from_pandas(old), "text", "other", idx)
+
+
+def test_short_docs_never_pair(ray_session, tmp_path):
+    """Docs with fewer tokens than the shingle width have no signature —
+    they must not LSH-pair with each other (the all-max-sentinel bug)."""
+    old = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "one two three four five six"]})
+    new = pd.DataFrame({"doc_id": [100], "text": ["foo"]})
+    idx = str(tmp_path / "idx")
+    di.build_minhash_index(rd.from_pandas(old), "text", "doc_id", idx)
+    got = di.dedup_against_index(rd.from_pandas(new), rd.from_pandas(old), "text", "doc_id", idx)
+    assert len(got) == 0, got
+
+
+def test_rebuild_into_existing_index_refused(ray_session, tmp_path):
+    rng = np.random.default_rng(8)
+    old = _corpus(rng, 5)
+    idx = str(tmp_path / "idx")
+    di.build_minhash_index(rd.from_pandas(old), "text", "doc_id", idx)
+    with pytest.raises(FileExistsError, match="never overwrites"):
+        di.build_minhash_index(rd.from_pandas(old), "text", "doc_id", idx)

@@ -186,3 +186,24 @@ def test_grouped_hll_matches_exact_within_bounds(ray_session):
     exact = df.groupby("g").k.nunique()
     for _, r in est.iterrows():
         assert abs(r["estimate"] - exact[r["g"]]) / exact[r["g"]] <= 3 * 1.04 / np.sqrt(2**14)
+
+
+def test_ntile_empty_input_returns_typed_empty(ray_session):
+    import ray.data as rd
+    from teleharvest_ray.stages.ordering import ntile_buckets
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"), "t": pd.Series(dtype="int64")}))
+    out = ntile_buckets(empty, "k", ["t"], n_buckets=4)
+    # NB: Dataset.to_pandas() drops the schema of any 0-row dataset in this
+    # Ray version — assert through the Dataset API instead
+    assert out.count() == 0
+    assert list(out.schema().names) == ["rk", "k", "bucket"]
+
+
+def test_morton_rejects_unsafe_bits(ray_session):
+    import ray.data as rd
+    from teleharvest_ray.stages.ordering import morton_interleave
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [1], "y": [2]}))
+    with pytest.raises(ValueError, match="bits"):
+        morton_interleave(ds, ["x", "y"], bits=32)
