@@ -70,13 +70,14 @@ def segmented_windows(
                 dtype="int64" if fn in ("row_number", "running_count") else "float64"
             )
         return df
-    k = df[key].to_numpy()
-    kn = pd.isna(df[key]).to_numpy()
+    # factorize collapses every NULL flavor (NaN, pd.NA, None) to one -1
+    # code, so NULL keys form ONE partition (SQL PARTITION BY semantics) and
+    # the boundary test is a plain int comparison — raw value comparison
+    # would split NaN rows (NaN != NaN) and chokes on extension-dtype pd.NA
+    codes = pd.factorize(df[key], use_na_sentinel=True)[0]
     new = np.empty(n, dtype=bool)
     new[0] = True
-    # NULL keys form ONE partition (SQL PARTITION BY groups NULLs together);
-    # plain != would make every NaN row its own segment since NaN != NaN
-    new[1:] = (k[1:] != k[:-1]) & ~(kn[1:] & kn[:-1])
+    new[1:] = codes[1:] != codes[:-1]
     gstart = np.flatnonzero(new)  # segment start positions
     seg = np.cumsum(new) - 1  # segment id per row
     start_of = gstart[seg]  # each row's segment start position

@@ -209,3 +209,95 @@ def test_property_hash_split_partition(n, fr, seed):
     edges[-1] = _RES
     idx = np.searchsorted(edges, h1, side="right")
     assert ((idx == 0) | (idx == 1)).all()  # every key lands in exactly one bucket
+
+
+@given(
+    n=st.integers(1, 120),
+    n_keys=st.integers(1, 6),
+    nan_frac=st.floats(0, 0.4),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_segmented_windows_match_pergroup_reference(n, n_keys, nan_frac, seed):
+    """The segmented (whole-frame, no-per-group-loop) window kernels equal a
+    naive per-group pandas computation for arbitrary frames with NaN values
+    and NULL keys."""
+    from teleharvest_ray.stages.windows import segmented_windows
+
+    rng = np.random.default_rng(seed)
+    keys = pd.array(rng.integers(0, n_keys, n), dtype="Int64")
+    keys[rng.random(n) < 0.15] = pd.NA  # NULL keys form one partition
+    df = pd.DataFrame(
+        {
+            "k": keys,
+            "o": rng.permutation(n),
+            "v": np.where(rng.random(n) < nan_frac, np.nan, rng.normal(size=n).round(3)),
+        }
+    )
+    specs = [
+        ("row_number", None, "rn"),
+        ("running_sum", "v", "rs"),
+        ("running_mean", "v", "rm"),
+        ("running_min", "v", "rmin"),
+        ("lag", "v", "lg"),
+        ("lead", "v", "ld"),
+    ]
+    got = segmented_windows(df.copy(), "k", ["o"], specs)
+
+    ref = df.sort_values(["k", "o"], kind="stable").reset_index(drop=True)
+    for c in ("rn", "rs", "rm", "rmin", "lg", "ld"):
+        ref[c] = np.nan
+    # naive per-group reference (group loop on purpose — transform() chokes
+    # on NA group names in this pandas version)
+    for _, idx in ref.groupby("k", dropna=False, sort=False).indices.items():
+        s = ref.loc[idx, "v"]
+        cnt = s.notna().cumsum()
+        ref.loc[idx, "rn"] = np.arange(1, len(idx) + 1)
+        ref.loc[idx, "rs"] = s.fillna(0).cumsum().mask(cnt == 0)
+        ref.loc[idx, "rm"] = s.fillna(0).cumsum() / cnt.mask(cnt == 0)
+        ref.loc[idx, "rmin"] = s.cummin().ffill()
+        ref.loc[idx, "lg"] = s.shift(1)
+        ref.loc[idx, "ld"] = s.shift(-1)
+    for c in ("rn", "rs", "rm", "rmin", "lg", "ld"):
+        pd.testing.assert_series_equal(
+            got[c].astype("float64"), ref[c].astype("float64"), check_names=False
+        )
+
+
+@given(
+    n=st.integers(0, 150),
+    n_buckets=st.integers(1, 10),
+    n_ids=st.integers(1, 25),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_tri_pairs_match_bruteforce(n, n_buckets, n_ids, seed):
+    """The vectorized triangular pair generator equals the brute-force
+    intra-bucket pair set for arbitrary (bucket, id) tables."""
+    from teleharvest_ray.stages.dedup import _tri_pairs
+
+    rng = np.random.default_rng(seed)
+    bdf = pd.DataFrame({"b": rng.integers(0, n_buckets, n), "id": rng.integers(0, n_ids, n)})
+    got = set(map(tuple, _tri_pairs(bdf, ["b"], "id")[["id_a", "id_b"]].to_numpy()))
+    exp = set()
+    for _, grp in bdf.drop_duplicates().groupby("b"):
+        ids = sorted(grp["id"].unique())
+        exp |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert got == exp
+
+
+@given(n=st.integers(1, 500), b=st.integers(1, 12))
+@settings(max_examples=60, deadline=None)
+def test_ntile_size_law(n, b):
+    """NTILE bucket sizes: first n%B buckets ceil(n/B), rest floor(n/B) —
+    checked against the vectorized tag formula for arbitrary (n, B)."""
+    rk = np.arange(1, n + 1)
+    q, r = divmod(n, b)
+    if q == 0:
+        bucket = rk
+    else:
+        head = r * (q + 1)
+        bucket = np.where(rk <= head, (rk - 1) // (q + 1) + 1, r + (rk - head - 1) // q + 1)
+    sizes = np.bincount(bucket)[1:]
+    exp = [q + 1] * r + [q] * (b - r) if q else [1] * n
+    assert list(sizes) == [s for s in exp if s]
