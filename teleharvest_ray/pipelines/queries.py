@@ -2622,6 +2622,51 @@ ORACLE_SQL["q_zorder_ranks"] = """
 """
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES priorities,
+    stages/sampling.weighted_sample): purchases weighted 4x, clicks 2x.
+    Power-of-two weights make the fractional power a sqrt chain, so
+    priorities are BIT-IDENTICAL numpy vs DuckDB and the selected set is
+    hash-exact. Distributed as block-local top-k — no shuffle, driver sees
+    <= n_blocks x k candidates."""
+    from ..stages import sampling as sp
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+
+    def add_weight(tbl: pa.Table) -> pa.Table:
+        et = tbl["event_type"]
+        w = pc.if_else(
+            pc.equal(et, "purchase"),
+            pa.scalar(4, pa.int64()),
+            pc.if_else(pc.equal(et, "click"), pa.scalar(2, pa.int64()), pa.scalar(1, pa.int64())),
+        )
+        return pa.table({"event_id": tbl["event_id"], "weight": pc.fill_null(w, 1)})
+
+    prepared = ds.map_batches(add_weight, batch_format="pyarrow", batch_size=None)
+    out = sp.weighted_sample(prepared, "event_id", "weight", k=100, seed=11)
+    out["event_id"] = out["event_id"].astype("int64")
+    out["weight"] = out["weight"].astype("int64")
+    out["priority"] = out["priority"].astype("float64")
+    return out.sort_values(["priority", "event_id"], ascending=[False, True]).reset_index(drop=True)
+
+
+QUERIES["q_weighted_sample"] = q_weighted_sample
+ORACLE_SQL["q_weighted_sample"] = f"""
+    WITH s AS (SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN 4
+                    WHEN event_type = 'click' THEN 2 ELSE 1 END AS weight,
+               xor(CAST(event_id AS UBIGINT), CAST(11 AS UBIGINT)) AS x
+               FROM events),
+    {_splitmix_full_cte('s', ['event_id', 'weight'])}
+    SELECT event_id, CAST(weight AS BIGINT) AS weight, priority FROM (
+      SELECT event_id, weight,
+             CASE weight WHEN 4 THEN sqrt(sqrt(u)) WHEN 2 THEN sqrt(u) ELSE u END AS priority
+      FROM (SELECT event_id, weight,
+                   CAST(x AS DOUBLE) / 18446744073709551616 AS u FROM sm))
+    ORDER BY priority DESC, event_id LIMIT 100
+"""
+
+
 _EPOCH_SEED = 2026
 
 

@@ -232,3 +232,61 @@ def export_splits(ds: Dataset, key_col: str, fractions: dict[str, float], out_di
     assigned = hash_split(ds, key_col, fractions, seed)
     assigned.write_parquet(out_dir, partition_cols=["split"])
     return {"out_dir": out_dir, "splits": list(fractions)}
+
+
+def weighted_sample(
+    ds: Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 11,
+    keep: list[str] | None = None,
+) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (the A-ES /
+    Efraimidis-Spirakis scheme): each row's priority is ``u**(1/w)`` with
+    ``u = splitmix64(key XOR seed) / 2**64``, and the global top-``k`` by
+    priority IS the weighted sample — inclusion probability proportional to
+    weight, reproducible across runs and partition layouts (pure function of
+    key + seed, like the other keyed-hash samplers here).
+
+    Distributed shape: each block reduces to its LOCAL top-k (argpartition,
+    no sort of the block), so the driver sees at most n_blocks x k candidate
+    rows — no shuffle, no data-sized collection. Power-of-two weights
+    (1/2/4/8...) compute the fractional power as a chain of correctly-rounded
+    ``sqrt`` calls, so priorities are BIT-IDENTICAL to SQL; other weights go
+    through ``np.power`` (1-ulp platform variance possible — fine for
+    sampling, not for a hash-exact oracle)."""
+    keep = keep if keep is not None else [key_col, weight_col]
+
+    def _priority(u: np.ndarray, w: np.ndarray) -> np.ndarray:
+        out = np.empty_like(u)
+        done = np.zeros(len(u), dtype=bool)
+        for pow2 in (1, 2, 4, 8, 16):
+            m = (w == pow2) & ~done
+            if m.any():
+                v = u[m]
+                for _ in range(int(np.log2(pow2))):
+                    v = np.sqrt(v)
+                out[m] = v
+                done |= m
+        rest = ~done
+        if rest.any():
+            out[rest] = np.power(u[rest], 1.0 / w[rest])
+        return out
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash_u64(pa.Array.from_pandas(batch[key_col]), seed=seed)
+        u = h.astype(np.float64) / 18446744073709551616.0  # / 2^64, exact scale
+        w = batch[weight_col].to_numpy().astype(np.float64)
+        pri = _priority(u, w)
+        if len(batch) > k:
+            idx = np.argpartition(-pri, k)[:k]
+        else:
+            idx = np.arange(len(batch))
+        out = batch.iloc[idx][keep].copy()
+        out["priority"] = pri[idx]
+        return out
+
+    cands = ds.map_batches(local_topk, batch_format="pandas", batch_size=None).to_pandas()
+    cands = cands.sort_values(["priority", key_col], ascending=[False, True], kind="stable")
+    return cands.head(k).reset_index(drop=True)

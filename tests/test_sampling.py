@@ -198,3 +198,28 @@ def test_cut_rounding_consistent_for_inexact_rates(ray_session, ids_df):
     strat = sp.stratified_sample(rd.from_pandas(df), "cls", "doc_id", {"only": p}, seed=131).to_pandas()
     bern = sp.bernoulli_sample(rd.from_pandas(df), "doc_id", p, seed=131).to_pandas()
     assert set(strat.doc_id) == set(bern.doc_id)
+
+
+def test_weighted_sample_proportional_and_layout_stable(ray_session):
+    """Weighted inclusion scales with weight (chi-square-loose check on a
+    2x-weight class) and the selected set is identical across partition
+    layouts (pure function of key + seed)."""
+    import ray.data as rd
+
+    from teleharvest_ray.stages.sampling import weighted_sample
+
+    n = 20_000
+    df = pd.DataFrame({"k": np.arange(n), "w": np.where(np.arange(n) % 2 == 0, 4.0, 1.0)})
+
+    def run(parts):
+        return weighted_sample(rd.from_pandas(df).repartition(parts), "k", "w", k=2000, seed=3)
+
+    a, b = run(4), run(13)
+    pd.testing.assert_frame_equal(a, b)  # layout-independent
+    heavy = (a["k"] % 2 == 0).mean()
+    # threshold t solves (1-t^4)+(1-t)=0.2 -> t~0.959, heavy share
+    # (1-t^4)/0.2 ~ 0.79; allow sampling noise around it
+    assert 0.72 <= heavy <= 0.86
+    # priorities for w=4 use the sqrt chain: all in [0, 1]
+    assert a["priority"].between(0, 1).all()
+    assert len(a) == 2000 and a["k"].is_unique
