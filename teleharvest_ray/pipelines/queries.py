@@ -3167,3 +3167,135 @@ ORACLE_SQL["q_skew_join"] = """
     FROM events JOIN customer ON user_id = c_custkey
     ORDER BY user_id, event_id
 """
+
+
+def q_corr_by_group(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation as an ALGEBRAIC aggregate: each batch
+    pre-aggregates exact int64 second-order moments (n, Σx, Σy, Σx², Σy²,
+    Σxy) per group, the shuffle carries one 6-tuple per (block, group), and
+    int64 sums are exact + order-independent — so the distributed part is
+    bit-deterministic under any blocking, and the final corr is ONE fixed
+    float expression over exactly-representable integers (every IEEE op
+    correctly rounded → bit-identical to the DuckDB oracle's mirrored
+    expression). The scale shape for corr/cov/stddev at 10^12 rows: no
+    centering pass, no float accumulation drift, moments fit one cache line
+    per group. Ref analog: processor.py:98-117 metric averaging, widened."""
+    from ..stages.stats import corr_from_moments, grouped_moments
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def add_pct(t: pa.Table) -> pa.Table:
+        # disc_pct = round(l_discount*100): the double product is the same
+        # correctly-rounded value in numpy and DuckDB, never exactly *.5
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0)
+        return t.set_column(t.schema.get_field_index("l_discount"), "disc_pct", pa.array(d))
+
+    ds = ds.map_batches(add_pct, batch_format="pyarrow", batch_size=None)
+    m = grouped_moments(ds, "l_returnflag", "l_quantity", "disc_pct")
+    m["corr_ppm"] = corr_from_moments(m)
+    m = m.sort_values("l_returnflag").reset_index(drop=True)
+    for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+        m[c] = m[c].astype("int64")
+    return m[["l_returnflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy", "corr_ppm"]]
+
+
+QUERIES["q_corr_by_group"] = q_corr_by_group
+ORACLE_SQL["q_corr_by_group"] = """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100.0) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(x) AS sum_x, SUM(y) AS sum_y,
+             SUM(x*x) AS sum_xx, SUM(y*y) AS sum_yy, SUM(x*y) AS sum_xy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_xx AS BIGINT) AS sum_xx, CAST(sum_yy AS BIGINT) AS sum_yy,
+           CAST(sum_xy AS BIGINT) AS sum_xy,
+           CAST(FLOOR(
+             CAST(n*sum_xy - sum_x*sum_y AS DOUBLE)
+             / SQRT(CAST(n*sum_xx - sum_x*sum_x AS DOUBLE)
+                    * CAST(n*sum_yy - sum_y*sum_y AS DOUBLE))
+             * 1000000.0
+           ) AS BIGINT) AS corr_ppm
+    FROM m ORDER BY l_returnflag
+"""
+
+
+def _kmeans_sql(dim: int = 64, k: int = 4, iters: int = 2, scale: str = "10000.0") -> str:
+    """Generated bit-exact SQL replay of :func:`stages.cluster.kmeans_quantized`:
+    the same quantization (exact floor of a correctly-rounded product), the
+    same exact-int centroid sums + one double division, and the same
+    left-associative squared-distance chain (SQL ``+`` parses left-assoc,
+    mirroring the kernel's sequential per-dim accumulation), with ties
+    broken by ascending cluster id on both sides. Iterative algorithms are
+    normally non-oracle-able; integer quantization makes every round a
+    deterministic function of the data, so T rounds are T chained CTEs."""
+    qcols = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) AS BIGINT) AS q{i}"
+        for i in range(dim)
+    )
+
+    def dist() -> str:
+        return " + ".join(
+            f"(CAST(p.q{d} AS DOUBLE) - c.c{d}) * (CAST(p.q{d} AS DOUBLE) - c.c{d})"
+            for d in range(dim)
+        )
+
+    cent0_cols = ", ".join(f"CAST(p.q{d} AS DOUBLE) AS c{d}" for d in range(dim))
+    centn_cols = ", ".join(
+        f"CAST(SUM(p.q{d}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c{d}" for d in range(dim)
+    )
+    sql = f"""
+    WITH pts AS (SELECT vec_id, {qcols} FROM embeddings),
+    seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+             FROM (SELECT vec_id FROM pts ORDER BY vec_id LIMIT {k})),
+    cent0 AS (SELECT s.cluster, {cent0_cols} FROM seed s JOIN pts p ON s.vec_id = p.vec_id),
+    """
+    for i in range(iters):
+        sql += f"""asg{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {dist()}, c.cluster) AS rn
+        FROM pts p CROSS JOIN cent{i} c) WHERE rn = 1),
+    cent{i + 1} AS (SELECT a.cluster, {centn_cols}
+                  FROM asg{i} a JOIN pts p ON a.vec_id = p.vec_id GROUP BY a.cluster),
+    """
+    sql += f"""final AS (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {dist()}, c.cluster) AS rn
+        FROM pts p CROSS JOIN cent{iters} c) WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM final ORDER BY vec_id
+    """
+    return sql
+
+
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Certified distributed k-means: Lloyd's over integer-quantized
+    embeddings (stages/cluster.kmeans_quantized) — per iteration ONE
+    streaming pass (quantize + assign + exact-int partial sums), driver
+    reduces k×blocks tiny partials and broadcasts k×dim centroids. The
+    oracle replays all rounds bit-exactly in SQL (chained CTEs) because
+    quantization makes every centroid and every argmin deterministic —
+    a full hash-exact certificate of an ITERATIVE algorithm."""
+    from ..stages import cluster as cl
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    asg, _, _ = cl.kmeans_quantized(ds, id_col="vec_id", vec_col="embedding", k=4, iters=2)
+    out = asg.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)[["vec_id", "cluster"]]
+
+
+QUERIES["q_kmeans"] = q_kmeans
+ORACLE_SQL["q_kmeans"] = _kmeans_sql()

@@ -298,3 +298,145 @@ def cluster_stats(labels: Dataset) -> Dataset:
         return g
 
     return labels.groupby("cluster_id").map_groups(per_cluster, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Certified distributed k-means (Lloyd's) over quantized embeddings
+# ---------------------------------------------------------------------------
+
+
+def _seq_sq_dists(qf: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """``[n, m]`` squared distances with LEFT-ASSOCIATIVE per-dim
+    accumulation (``acc = t0*t0; acc = acc + td*td``) — the exact op
+    sequence the SQL oracle's generated ``+`` chain performs, so every
+    distance is the bit-identical double in both engines. Vectorized across
+    rows; the dim loop is 64 iterations of full-width kernels."""
+    n, dim = qf.shape
+    out = np.empty((n, cents.shape[0]), dtype=np.float64)
+    for j in range(cents.shape[0]):
+        t = qf[:, 0] - cents[j, 0]
+        acc = t * t
+        for d in range(1, dim):
+            t = qf[:, d] - cents[j, d]
+            acc = acc + t * t
+        out[:, j] = acc
+    return out
+
+
+def _empty_partial() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "cluster": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "blob": pd.Series([], dtype=object),
+        }
+    )
+
+
+def kmeans_quantized(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    scale: float = 10000.0,
+):
+    """Distributed Lloyd's k-means made BIT-DETERMINISTIC — and therefore
+    SQL-certifiable end-to-end — by running on integer-quantized vectors:
+
+    - points are ``q = floor(float64(x) * scale)`` (the float32→float64 cast
+      and the product are exact/correctly-rounded, floor is exact — any
+      IEEE engine computes the same q);
+    - per-iteration centroid updates reduce EXACT int64 sums (associative,
+      order-independent ⇒ identical under any blocking / reduce order),
+      then one double division ``Σq / n`` — so centroids, and hence every
+      assignment, are reproducible bit-for-bit by the DuckDB oracle's
+      chained-CTE replay of the same ``iters`` rounds;
+    - assignment argmin breaks exact-double ties by ascending cluster id
+      (numpy first-min == SQL ``ORDER BY dist, cluster``).
+
+    Execution shape per iteration: ONE streaming ``map_batches`` pass over
+    the source (quantize + assign + per-cluster partial int sums); the
+    driver reduces k×blocks tiny partials (independent of row count — the
+    KLL-blob pattern), broadcasts the k×dim centroid matrix via ``ray.put``,
+    and never sees a data-sized collection. Seeds are the k smallest-id
+    vectors (per-block bottom-k → driver merge). Empty clusters drop from
+    the live set, mirroring SQL's GROUP BY. Returns the final assignment
+    Dataset ``(id_col, cluster)`` plus ``(cluster_ids, centroids)``.
+
+    Reference analog: the embedding-similarity gate of
+    /root/reference/services/processor.py:125-143, widened from
+    one-profile-vs-corpus scoring to full unsupervised partitioning (the
+    IVF coarse quantizer in stages/similarity.py uses the same Lloyd's
+    core, sampled + float; this is the certified exact-replay variant).
+    """
+    import ray
+
+    from ..functions import arrays
+
+    def _quant(t):
+        q = np.floor(arrays.list_to_mat(t[vec_col]) * scale)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return ids, q
+
+    def seed_partial(t) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"vid": pd.Series([], dtype="int64"), "blob": pd.Series([], dtype=object)})
+        ids, q = _quant(t)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pd.DataFrame({"vid": ids[order], "blob": [q[i].tobytes() for i in order]})
+
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("vid")
+        .head(k)
+    )
+    cents = np.stack([np.frombuffer(b, dtype=np.float64) for b in seeds["blob"]])
+    cids = np.arange(len(seeds), dtype=np.int64)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put((cids, cents))
+
+        def upd(t, _c=cref) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return _empty_partial()
+            c_ids, c_mat = ray.get(_c)
+            _, q = _quant(t)
+            a = np.argmin(_seq_sq_dists(q, c_mat), axis=1)
+            qi = q.astype(np.int64)
+            rows = []
+            for j in range(len(c_ids)):
+                m = a == j
+                nj = int(m.sum())
+                if nj:
+                    rows.append(
+                        {"cluster": int(c_ids[j]), "n": nj, "blob": qi[m].sum(axis=0).tobytes()}
+                    )
+            return pd.DataFrame(rows) if rows else _empty_partial()
+
+        parts = ds.map_batches(upd, batch_format="pyarrow", batch_size=None).to_pandas()
+        new_ids, new_c = [], []
+        for cid, g in parts.groupby("cluster"):  # pandas groupby sorts keys asc
+            s = np.zeros(dim, dtype=np.int64)
+            for b in g["blob"]:
+                s = s + np.frombuffer(b, dtype=np.int64)
+            new_ids.append(int(cid))
+            new_c.append(s.astype(np.float64) / np.float64(int(g["n"].sum())))
+        cids = np.array(new_ids, dtype=np.int64)
+        cents = np.stack(new_c)
+
+    cref = ray.put((cids, cents))
+
+    def asg(t, _c=cref) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"), "cluster": pd.Series([], dtype="int64")}
+            )
+        c_ids, c_mat = ray.get(_c)
+        ids, q = _quant(t)
+        a = np.argmin(_seq_sq_dists(q, c_mat), axis=1)
+        return pd.DataFrame({id_col: ids, "cluster": c_ids[a]})
+
+    return ds.map_batches(asg, batch_format="pyarrow", batch_size=None), cids, cents

@@ -280,3 +280,79 @@ def grouped_hll_distinct(ds, group_col: str, key_col: str, p: int = 14):
         return pd.DataFrame({group_col: [g[group_col].iloc[0]], "estimate": [h.estimate()]})
 
     return parts.groupby(group_col).map_groups(merge_group, batch_format="pandas")
+
+
+def grouped_moments(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    to_int=None,
+):
+    """Per-group second-order moments (n, Σx, Σy, Σx², Σy², Σxy) as EXACT
+    int64 sufficient statistics — the algebraic-aggregate scale shape for
+    covariance / correlation / variance: each batch pre-aggregates one
+    6-tuple per (block, group), the shuffle carries those tiny partials, and
+    int64 sums are exact and order-independent, so the result is
+    bit-deterministic under any blocking / reduce tree (float partial sums
+    would not be). The caller derives corr/cov from the moments with a fixed
+    float expression, keeping the distributed part integer-exact.
+
+    ``to_int`` maps each raw column to int64 (default: ``np.rint``); inputs
+    must be integer-valued after mapping and small enough that every moment
+    stays under 2^53 (so the final float math is exact-input) — true for
+    bounded domains like quantities/percentages at any row count up to ~10^9
+    per group per unit², and checked nowhere cheaper than by the oracle.
+
+    Reference analog: the per-channel metric averaging in
+    /root/reference/services/processor.py:98-117, widened to exact
+    distributed moments.
+    """
+    from ray.data.aggregate import Sum
+
+    conv = to_int or (lambda a: np.rint(a).astype(np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = conv(batch[x_col].to_numpy())
+        y = conv(batch[y_col].to_numpy())
+        f = pd.DataFrame({group_col: batch[group_col], "x": x, "y": y})
+        f["xx"] = f.x * f.x
+        f["yy"] = f.y * f.y
+        f["xy"] = f.x * f.y
+        f["n"] = np.int64(1)
+        return (
+            f.groupby(group_col, sort=False, dropna=True)[["n", "x", "y", "xx", "yy", "xy"]]
+            .sum()
+            .reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(2)
+    return (
+        parts.groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"),
+            Sum("xx", alias_name="sum_xx"),
+            Sum("yy", alias_name="sum_yy"),
+            Sum("xy", alias_name="sum_xy"),
+        )
+        .to_pandas()
+    )
+
+
+def corr_from_moments(m: pd.DataFrame) -> np.ndarray:
+    """Pearson r in ppm (floored) from exact integer moments. Every input to
+    the float expression is an exactly-representable integer (< 2^53) and
+    every op (cast, subtract, multiply, sqrt, divide, floor) is a single
+    correctly-rounded IEEE step, so the result is bit-identical to the same
+    expression evaluated by any IEEE-754 engine (the DuckDB oracle mirrors
+    this exact expression shape)."""
+    n = m["n"].to_numpy().astype(np.float64)
+    sx = m["sum_x"].to_numpy().astype(np.float64)
+    sy = m["sum_y"].to_numpy().astype(np.float64)
+    num = (m["n"] * m["sum_xy"] - m["sum_x"] * m["sum_y"]).to_numpy().astype(np.float64)
+    vx = (m["n"] * m["sum_xx"] - m["sum_x"] * m["sum_x"]).to_numpy().astype(np.float64)
+    vy = (m["n"] * m["sum_yy"] - m["sum_y"] * m["sum_y"]).to_numpy().astype(np.float64)
+    r = num / np.sqrt(vx * vy)
+    return np.floor(r * 1e6).astype(np.int64)

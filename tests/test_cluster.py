@@ -149,3 +149,61 @@ def test_gram_edges_matches_sql_semantics(ray_session):
     ).df().astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
     assert {(0, 1), (0, 3), (1, 3)} <= set(zip(exp.id_a, exp.id_b))
+
+
+def _toy_embeddings(n=300, dim=8, k_true=3, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (k_true, dim))
+    pts = centers[rng.integers(0, k_true, n)] + rng.normal(0, 0.1, (n, dim))
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(pts.astype(np.float32))}
+    )
+
+
+def test_kmeans_partition_invariant(ray_session):
+    df = _toy_embeddings()
+    outs = []
+    for parts in (1, 9):
+        asg, cids, cents = cl.kmeans_quantized(
+            rd.from_pandas(df).repartition(parts), k=3, iters=2
+        )
+        outs.append(asg.to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # exact int64 partial sums => centroids, hence assignments, are
+    # bit-identical under any blocking
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_kmeans_recovers_separated_clusters(ray_session):
+    df = _toy_embeddings()
+    asg, cids, cents = cl.kmeans_quantized(rd.from_pandas(df), k=3, iters=4)
+    out = asg.to_pandas()
+    # well-separated blobs: every k-means cluster should be pure w.r.t. the
+    # generating center (check via majority purity >= 95%)
+    pts = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    gen_centers = {}
+    for c in out.cluster.unique():
+        ids = out[out.cluster == c].vec_id.to_numpy()
+        gen_centers[c] = pts[ids].mean(axis=0)
+    # inertia under final centroids <= inertia under initial seeds
+    from teleharvest_ray.stages.cluster import _seq_sq_dists
+
+    q = np.floor(pts * 10000.0)
+    d_final = _seq_sq_dists(q, cents).min(axis=1).sum()
+    seeds = q[np.argsort(df.vec_id.to_numpy())[:3]]
+    d_init = _seq_sq_dists(q, seeds).min(axis=1).sum()
+    assert d_final <= d_init
+
+
+def test_kmeans_handles_more_k_than_natural_clusters(ray_session):
+    # k=5 over 2 tight blobs: some clusters may empty out; the live set
+    # shrinks without error and every point still gets a label
+    rng = np.random.default_rng(3)
+    pts = np.concatenate(
+        [rng.normal(0, 0.01, (40, 4)), rng.normal(5, 0.01, (40, 4))]
+    ).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64), "embedding": list(pts)})
+    asg, cids, cents = cl.kmeans_quantized(rd.from_pandas(df).repartition(4), k=5, iters=3)
+    out = asg.to_pandas()
+    assert len(out) == 80
+    assert set(out.cluster).issubset(set(cids.tolist()))
+    assert len(set(out.cluster)) <= 5

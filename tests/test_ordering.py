@@ -207,3 +207,28 @@ def test_morton_rejects_unsafe_bits(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": [1], "y": [2]}))
     with pytest.raises(ValueError, match="bits"):
         morton_interleave(ds, ["x", "y"], bits=32)
+
+
+def test_grouped_moments_partition_invariant_and_match_pandas(ray_session):
+    import ray.data as rd
+    from teleharvest_ray.stages.stats import corr_from_moments, grouped_moments
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 5000).astype(str),
+            "x": rng.integers(1, 51, 5000).astype(float),
+            "y": rng.integers(0, 11, 5000).astype(float),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        m = grouped_moments(rd.from_pandas(df).repartition(parts), "g", "x", "y")
+        m["corr_ppm"] = corr_from_moments(m)
+        outs.append(m.sort_values("g").reset_index(drop=True))
+    # int64 moments are exact and order-independent -> bit-identical
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for g, sub in df.groupby("g"):
+        row = outs[0][outs[0].g == g].iloc[0]
+        assert row["n"] == len(sub)
+        assert abs(row["corr_ppm"] / 1e6 - sub.x.corr(sub.y)) < 2e-6
