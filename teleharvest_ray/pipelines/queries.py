@@ -3299,3 +3299,87 @@ def q_kmeans(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["q_kmeans"] = q_kmeans
 ORACLE_SQL["q_kmeans"] = _kmeans_sql()
+
+
+def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered event-pattern matching (funnel): per user, how far along
+    view -> click -> purchase did they get, where each stage must occur
+    STRICTLY AFTER the first completion of the previous one. Non-stage
+    types are dropped before the single hash-bucket shuffle; each bucket
+    resolves all its users with vectorized masked-min rounds
+    (stages/windows.funnel_stages). Timestamps compare exactly, so the
+    SQL replay (chained min-after-min CTEs) is hash-exact."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    out = wd.funnel_stages(ds, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    out = out.to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["stage_reached"] = out["stage_reached"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[["user_id", "stage_reached"]]
+
+
+QUERIES["q_funnel_stages"] = q_funnel_stages
+ORACLE_SQL["q_funnel_stages"] = """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS v FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS c FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t1.v GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t2.c GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('view', 'click', 'purchase'))
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.p IS NOT NULL THEN 3
+                     WHEN t2.c IS NOT NULL THEN 2
+                     WHEN t1.v IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached
+    FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)
+    ORDER BY u.user_id
+"""
+
+
+def q_gini_by_group(sf_dir: str) -> pd.DataFrame:
+    """Per-user categorical diversity (Gini impurity of the event-type mix)
+    kept ENTIRELY in integer arithmetic: per-batch (user, type) partial
+    counts pre-aggregate before the single shuffle, and
+    gini_ppm = (10^6 * (n^2 - sum(c^2))) // n^2 is exact int64 floor
+    division on both engines — no float anywhere. The integer-exact twin
+    of entropy scoring for mix-quality gates."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(4)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("event_type")["c"].sum().to_numpy(dtype=np.int64)
+        n = np.int64(c.sum())
+        gini = (np.int64(1_000_000) * (n * n - np.int64((c * c).sum()))) // (n * n)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n": [n], "gini_ppm": [gini]}
+        )
+
+    out = parts.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for col in ("user_id", "n", "gini_ppm"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)[["user_id", "n", "gini_ppm"]]
+
+
+QUERIES["q_gini_by_group"] = q_gini_by_group
+ORACLE_SQL["q_gini_by_group"] = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+               FROM events GROUP BY user_id, event_type),
+    a AS (SELECT user_id, SUM(c) AS n, SUM(c*c) AS ss FROM c GROUP BY user_id)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST((1000000 * (n*n - ss)) // (n*n) AS BIGINT) AS gini_ppm
+    FROM a ORDER BY user_id
+"""

@@ -173,3 +173,69 @@ def window_over(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def funnel_stages(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    n_buckets: int = 64,
+) -> Dataset:
+    """Strict-sequential funnel (ordered event-pattern matching): per key,
+    stage ``k`` is reached iff an event of type ``stages[k]`` exists
+    STRICTLY AFTER the first time stage ``k-1`` was reached
+    (``t_k = min ts of stages[k] with ts > t_{k-1}``) — the sequential
+    dependency that makes this a custom operator rather than a plain
+    aggregate. Returns one row per key: ``(key_col, stage_reached)`` with
+    ``stage_reached in 0..len(stages)`` over keys having >=1 stage-type
+    event.
+
+    Scale shape: non-stage event types are dropped BEFORE the shuffle
+    (projection + predicate at the map), then ONE hash-bucket shuffle
+    co-locates each key's stage events; inside a bucket all keys are
+    resolved together with vectorized masked-min rounds (len(stages)
+    passes, no per-key loop). Reference analog: the per-channel
+    watermark-then-process ordering of processor.py:59-75, generalized to
+    k ordered stages.
+    """
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch[type_col].isin(stages)]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=batch[key_col].dtype),
+                    ts_col: pd.Series([], dtype=batch[ts_col].dtype),
+                    type_col: pd.Series([], dtype=batch[type_col].dtype),
+                    "__b": pd.Series([], dtype=np.int32),
+                }
+            )
+        b = b[[key_col, ts_col, type_col]].copy()
+        b["__b"] = (_key_hash(b[key_col].to_numpy()) % n_buckets).astype(np.int32)
+        return b
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g[key_col].unique())
+        reached = pd.Series(np.int64(0), index=users)
+        cur = None
+        for k, st in enumerate(stages):
+            rows = g[g[type_col] == st]
+            if k == 0:
+                cur = rows.groupby(key_col)[ts_col].min()
+            else:
+                prev_t = rows[key_col].map(cur).to_numpy()
+                # NaT/NaN comparisons are False -> keys not at stage k-1 drop
+                mask = rows[ts_col].to_numpy() > prev_t
+                cur = rows[mask].groupby(key_col)[ts_col].min()
+            if not len(cur):
+                break
+            reached.loc[cur.index] = np.int64(k + 1)
+        out = reached.rename("stage_reached").rename_axis(key_col).reset_index()
+        return out.sort_values(key_col).reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: bucket(g.drop(columns="__b")), batch_format="pandas")
+    )

@@ -122,3 +122,74 @@ def test_segmented_windows_sql_null_semantics():
         """
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _ev(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["user_id"] = df["user_id"].astype("int64")
+    return df
+
+
+def test_funnel_strictly_after_semantics(ray_session):
+    stages = ["view", "click", "purchase"]
+    df = _ev(
+        [
+            # u1: full funnel in order -> 3
+            (1, "2024-01-01 00:00", "view"),
+            (1, "2024-01-01 00:01", "click"),
+            (1, "2024-01-01 00:02", "purchase"),
+            # u2: click BEFORE first view, none after -> stalls at 1
+            (2, "2024-01-01 00:00", "click"),
+            (2, "2024-01-01 00:01", "view"),
+            (2, "2024-01-01 00:02", "purchase"),  # purchase needs a click after view
+            # u3: click at the SAME ts as view (not strictly after) -> 1
+            (3, "2024-01-01 00:00", "view"),
+            (3, "2024-01-01 00:00", "click"),
+            # u4: only non-stage types dropped pre-shuffle -> absent
+            (4, "2024-01-01 00:00", "signup"),
+            # u5: second click after view rescues the funnel -> 3
+            (5, "2024-01-01 00:00", "click"),
+            (5, "2024-01-01 00:01", "view"),
+            (5, "2024-01-01 00:02", "click"),
+            (5, "2024-01-01 00:03", "purchase"),
+        ]
+        + [(4, "2024-01-01 00:05", "view")]  # u4 gets a lone view -> 1
+    )
+    out = (
+        w.funnel_stages(rd.from_pandas(df).repartition(3), "user_id", "ts", "event_type", stages)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out.user_id, out.stage_reached)) == {1: 3, 2: 1, 3: 1, 4: 1, 5: 3}
+
+
+def test_funnel_partition_invariant(ray_session):
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 80, n).astype("int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+        }
+    )
+    outs = []
+    for parts in (1, 11):
+        o = (
+            w.funnel_stages(
+                rd.from_pandas(df).repartition(parts),
+                "user_id",
+                "ts",
+                "event_type",
+                ["view", "click", "purchase"],
+                n_buckets=7,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
