@@ -1783,7 +1783,7 @@ QUERIES["q_running_total"] = q_running_total
 ORACLE_SQL["q_running_total"] = """
     SELECT event_id, user_id,
            ROW_NUMBER() OVER w AS rn,
-           SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS run_fvalue,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS run_fvalue,
            COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w), -1) AS prev_gap_us
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -2614,9 +2614,9 @@ ORACLE_SQL["q_zorder_ranks"] = """
       SELECT l_partkey, l_suppkey, zorder,
              ROW_NUMBER() OVER (ORDER BY zorder, l_orderkey, l_linenumber) AS rk
       FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   list_sum([(l_partkey >> i & 1) * (CAST(1 AS BIGINT) << (2*i))
+                   CAST(list_sum([(l_partkey >> i & 1) * (CAST(1 AS BIGINT) << (2*i))
                              + (l_suppkey >> i & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
-                             FOR i IN generate_series(0, 20)]) AS zorder
+                             FOR i IN generate_series(0, 20)]) AS BIGINT) AS zorder
             FROM lineitem))
     WHERE rk % 997 = 1 ORDER BY rk
 """
@@ -3358,16 +3358,25 @@ def q_gini_by_group(sf_dir: str) -> pd.DataFrame:
         return g
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(4)
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby("event_type")["c"].sum().to_numpy(dtype=np.int64)
-        n = np.int64(c.sum())
-        gini = (np.int64(1_000_000) * (n * n - np.int64((c * c).sum()))) // (n * n)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n": [n], "gini_ppm": [gini]}
-        )
-
-    out = parts.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    # two-level PURE aggregates — no per-user map_groups (per-group pandas
+    # overhead is ruinous at 10^9 tiny groups, see stages/windows.py): final
+    # per-(user,type) counts first (c must be complete before squaring),
+    # then square per batch and Sum per user; gini is one vectorized pass
+    lvl1 = parts.groupby(["user_id", "event_type"]).aggregate(Sum("c", alias_name="c"))
+    sq = lvl1.map_batches(
+        lambda df: df.assign(cc=df["c"].astype("int64") ** 2)[["user_id", "c", "cc"]],
+        batch_format="pandas",
+        batch_size=None,
+    )
+    out = (
+        sq.groupby("user_id")
+        .aggregate(Sum("c", alias_name="n"), Sum("cc", alias_name="ss"))
+        .to_pandas()
+    )
+    n = out["n"].to_numpy(dtype=np.int64)
+    ss = out["ss"].to_numpy(dtype=np.int64)
+    out["gini_ppm"] = (np.int64(1_000_000) * (n * n - ss)) // (n * n)
+    out = out.drop(columns="ss")
     for col in ("user_id", "n", "gini_ppm"):
         out[col] = out[col].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)[["user_id", "n", "gini_ppm"]]
@@ -3382,4 +3391,61 @@ ORACLE_SQL["q_gini_by_group"] = """
            CAST(n AS BIGINT) AS n,
            CAST((1000000 * (n*n - ss)) // (n*n) AS BIGINT) AS gini_ppm
     FROM a ORDER BY user_id
+"""
+
+
+def q_mad_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Robust grouped statistics: EXACT per-group median + median absolute
+    deviation (the outlier-resistant spread gate) from ONE mergeable
+    counting distribution — per-batch (lang, n_chars) counts pre-aggregate
+    before a single domain-sized shuffle; both dependent medians (m, then
+    median of |x-m|) are read off the merged counts driver-side by
+    re-binning, so the data is scanned once and nothing data-sized ever
+    collects. Discrete (lower-median) semantics match SQL percentile_disc
+    exactly — all-integer, hash-exact."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def disc_median(vals: np.ndarray, c: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        vals, c = vals[order], c[order]
+        cum = np.cumsum(c)
+        return int(vals[np.searchsorted(cum, (cum[-1] + 1) // 2, side="left")])
+
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        med = disc_median(vals, c)
+        dev = np.abs(vals - med)
+        # re-bin the SAME counting distribution by |x - med|
+        dd = pd.DataFrame({"d": dev, "n": c}).groupby("d")["n"].sum().reset_index()
+        mad = disc_median(dd["d"].to_numpy(), dd["n"].to_numpy(dtype=np.int64))
+        rows.append({"lang": lang, "med": med, "mad": mad})
+    out = pd.DataFrame(rows)
+    out["med"] = out["med"].astype("int64")
+    out["mad"] = out["mad"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "med", "mad"]]
+
+
+QUERIES["q_mad_by_lang"] = q_mad_by_lang
+ORACLE_SQL["q_mad_by_lang"] = """
+    WITH m AS (SELECT lang,
+                      CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS med
+               FROM documents GROUP BY lang)
+    SELECT d.lang, m.med,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(d.n_chars - m.med)) AS BIGINT) AS mad
+    FROM documents d JOIN m ON d.lang = m.lang
+    GROUP BY d.lang, m.med ORDER BY d.lang
 """
