@@ -3357,26 +3357,38 @@ def q_gini_by_group(sf_dir: str) -> pd.DataFrame:
         g["c"] = g["c"].astype("int64")
         return g
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(4)
-    # two-level PURE aggregates — no per-user map_groups (per-group pandas
-    # overhead is ruinous at 10^9 tiny groups, see stages/windows.py): final
-    # per-(user,type) counts first (c must be complete before squaring),
-    # then square per batch and Sum per user; gini is one vectorized pass
-    lvl1 = parts.groupby(["user_id", "event_type"]).aggregate(Sum("c", alias_name="c"))
-    sq = lvl1.map_batches(
-        lambda df: df.assign(cc=df["c"].astype("int64") ** 2)[["user_id", "c", "cc"]],
-        batch_format="pandas",
-        batch_size=None,
-    )
+    # ONE hash-bucket shuffle over block-local partial counts (the
+    # windows/funnel shape) — no per-user map_groups (ruinous at 10^9 tiny
+    # groups) and no multi-key string groupby (13 s of sort-shuffle fixed
+    # overhead measured at sf0.1 vs ~1 s for this int-bucket path). Each
+    # bucket finalizes the (user,type) counts, squares them, and reduces
+    # per user — all vectorized pandas, bucket count bounded.
+    N_BUCKETS = 64
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        g = partial(batch)
+        g["__b"] = (g["user_id"].to_numpy() % N_BUCKETS).astype(np.int32)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)["c"]
+            .sum()
+            .reset_index(name="c")
+        )
+        c["cc"] = c["c"].astype("int64") ** 2
+        a = c.groupby("user_id")[["c", "cc"]].sum().reset_index()
+        n = a["c"].to_numpy(dtype=np.int64)
+        ss = a["cc"].to_numpy(dtype=np.int64)
+        a["gini_ppm"] = (np.int64(1_000_000) * (n * n - ss)) // (n * n)
+        return a.rename(columns={"c": "n"})[["user_id", "n", "gini_ppm"]]
+
     out = (
-        sq.groupby("user_id")
-        .aggregate(Sum("c", alias_name="n"), Sum("cc", alias_name="ss"))
+        ds.map_batches(bucketed, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: per_bucket(g.drop(columns="__b")), batch_format="pandas")
         .to_pandas()
     )
-    n = out["n"].to_numpy(dtype=np.int64)
-    ss = out["ss"].to_numpy(dtype=np.int64)
-    out["gini_ppm"] = (np.int64(1_000_000) * (n * n - ss)) // (n * n)
-    out = out.drop(columns="ss")
     for col in ("user_id", "n", "gini_ppm"):
         out[col] = out[col].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)[["user_id", "n", "gini_ppm"]]
