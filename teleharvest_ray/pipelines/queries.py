@@ -3461,3 +3461,148 @@ ORACLE_SQL["q_mad_by_lang"] = """
     FROM documents d JOIN m ON d.lang = m.lang
     GROUP BY d.lang, m.med ORDER BY d.lang
 """
+
+
+def q_bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """Co-occurrence mining: top-20 adjacent word pairs across the corpus.
+    Per batch, bigrams are formed ENTIRELY in code space — adjacent
+    factorized token ids packed into one int64 (a*V+b where rows match), a
+    single np.unique counts them, and strings materialize only for the
+    unique-pair set — then partial counts shuffle through one groupby("bg").
+    The n-gram analog of q_word_count's pre-aggregate-before-shuffle shape."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tok = tf.tokenize(tbl["text"])
+        empty = pa.table(
+            {"bg": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())}
+        )
+        if len(tok.codes) < 2:
+            return empty
+        same = tok.rows[1:] == tok.rows[:-1]
+        if not same.any():
+            return empty
+        v = np.int64(len(tok.uniques))
+        a = tok.codes[:-1][same].astype(np.int64)
+        b = tok.codes[1:][same].astype(np.int64)
+        uk, counts = np.unique(a * v + b, return_counts=True)
+        un = tok.uniques
+        bgs = [f"{un[k // v]} {un[k % v]}" for k in uk]
+        return pa.table(
+            {"bg": pa.array(bgs, pa.string()), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bg")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "bg"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)[["bg", "n"]]
+
+
+QUERIES["q_bigram_counts"] = q_bigram_counts
+ORACLE_SQL["q_bigram_counts"] = r"""
+    WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+    bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                          FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+           FROM tok)
+    SELECT bg, COUNT(*) AS n FROM bg GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Distinctive terms per document, tf-idf style but fully certifiable:
+    rank terms within each doc by tf/df (one correctly-rounded double
+    division — identical in any IEEE engine, unlike ln-based idf), ties by
+    term. Phase A computes document frequencies with per-batch distinct
+    counts summed through one groupby (each doc is one row, so per-batch
+    distincts are globally exact); the vocabulary-bounded df table is
+    broadcast ONCE as a frame (ray.put; past the broadcast budget this
+    becomes a bucketed join on term — joins.bucketed_hash_join). Phase B
+    scores and selects top-3 per doc batch-locally — no shuffle, because a
+    doc never straddles batches."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(tbl: pa.Table) -> pa.Table:
+        tok = tf.tokenize(tbl["text"])
+        if not len(tok.codes):
+            return pa.table({"term": pa.nulls(0, pa.string()), "df": pa.nulls(0, pa.int64())})
+        pair = np.unique(tok.rows * np.int64(len(tok.uniques)) + tok.codes)
+        codes = (pair % np.int64(len(tok.uniques))).astype(np.int64)
+        uc, counts = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(np.asarray(tok.uniques, dtype=object)[uc], pa.string()),
+                "df": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    dfs = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(2)  # vocab x blocks partials over many blocks -> avoid
+        # empty schema-less aggregate output partitions (q_pricing pattern)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    dfs["df"] = dfs["df"].astype("int64")
+    df_ref = _ray.put(dfs)
+
+    def score(tbl: pa.Table, _r=df_ref) -> pd.DataFrame:
+        dmap = _ray.get(_r)
+        tok = tf.tokenize(tbl["text"])
+        if not len(tok.codes):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                    "score_ppm": pd.Series([], dtype="int64"),
+                }
+            )
+        v = np.int64(len(tok.uniques))
+        pair, tf_counts = np.unique(tok.rows * v + tok.codes, return_counts=True)
+        rows = (pair // v).astype(np.int64)
+        codes = (pair % v).astype(np.int64)
+        f = pd.DataFrame(
+            {
+                "doc_id": tbl["doc_id"].to_numpy(zero_copy_only=False)[rows],
+                "term": np.asarray(tok.uniques, dtype=object)[codes],
+                "tf": tf_counts.astype(np.int64),
+            }
+        )
+        f = f.merge(dmap, on="term", how="left")
+        sc = f["tf"].to_numpy().astype(np.float64) / f["df"].to_numpy().astype(np.float64)
+        f["score_ppm"] = np.floor(sc * 1e6).astype(np.int64)
+        f["__s"] = sc
+        f = f.sort_values(["doc_id", "__s", "term"], ascending=[True, False, True])
+        f = f.groupby("doc_id", sort=False).head(3).drop(columns="__s")
+        f["rnk"] = f.groupby("doc_id", sort=False).cumcount() + 1
+        return f[["doc_id", "rnk", "term", "tf", "df", "score_ppm"]]
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=None).to_pandas()
+    for c in ("doc_id", "rnk", "tf", "df", "score_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+QUERIES["q_tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE_SQL["q_tfidf_top_terms"] = r"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (term)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk FROM s)
+    SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_ppm
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
