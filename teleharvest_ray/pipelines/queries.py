@@ -3606,3 +3606,116 @@ ORACLE_SQL["q_tfidf_top_terms"] = r"""
            CAST(FLOOR(score * 1000000.0) AS BIGINT) AS score_ppm
     FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
+
+
+def q_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier gate (Tukey fences) per group, INTEGER-EXACT end to
+    end: discrete quartiles come off the same merged counting distribution
+    as q_mad_by_lang (one domain-sized shuffle, single data scan), and the
+    1.5-IQR fences are tested as 2x < 2*q1 - 3*iqr (all int64 — the .5
+    halves never materialize), so the outlier counts are hash-exact
+    against percentile_disc SQL."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def disc_q(vals: np.ndarray, cum: np.ndarray, num: int, den: int) -> int:
+        # percentile_disc(num/den): first value with cum rank >= ceil(q*n)
+        r = -((-num * cum[-1]) // den)
+        return int(vals[np.searchsorted(cum, r, side="left")])
+
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        q1 = disc_q(vals, cum, 1, 4)
+        q3 = disc_q(vals, cum, 3, 4)
+        iqr = q3 - q1
+        lo_bad = 2 * vals < 2 * q1 - 3 * iqr
+        hi_bad = 2 * vals > 2 * q3 + 3 * iqr
+        n_out = int(c[lo_bad | hi_bad].sum())
+        rows.append({"lang": lang, "q1": q1, "q3": q3, "n_outliers": n_out})
+    out = pd.DataFrame(rows)
+    for col in ("q1", "q3", "n_outliers"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "q1", "q3", "n_outliers"]]
+
+
+QUERIES["q_iqr_outliers"] = q_iqr_outliers
+ORACLE_SQL["q_iqr_outliers"] = """
+    WITH q AS (SELECT lang,
+                      CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q1,
+                      CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS q3
+               FROM documents GROUP BY lang)
+    SELECT d.lang, q.q1, q.q3,
+           CAST(COUNT(*) FILTER (2*d.n_chars < 2*q.q1 - 3*(q.q3 - q.q1)
+                              OR 2*d.n_chars > 2*q.q3 + 3*(q.q3 - q.q1)) AS BIGINT) AS n_outliers
+    FROM documents d JOIN q ON d.lang = q.lang
+    GROUP BY d.lang, q.q1, q.q3 ORDER BY d.lang
+"""
+
+
+def q_unpivot_metrics(sf_dir: str) -> pd.DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt) as a pure batch transform — no
+    shuffle at all: each batch melts its numeric metric columns into
+    (key, metric, value) rows with pandas' C melt kernel. The inverse of
+    pivot_counts (stages/olap.py). Sliced to 1/997 of orders so the long
+    output stays result-sized."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_custkey"]
+    )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.nulls(0, pa.int64()),
+            "metric": pa.nulls(0, pa.string()),
+            "value": pa.nulls(0, pa.float64()),
+        }
+    )
+
+    def melt(batch: pd.DataFrame) -> pa.Table:
+        b = batch[batch["o_orderkey"] % 997 == 0]
+        if not len(b):
+            # Arrow empty (typed) — pandas object-dtype empties trip Ray's
+            # block size estimator into per-block warnings
+            return _empty
+        long = b.melt(
+            id_vars="o_orderkey",
+            value_vars=["o_totalprice", "o_custkey"],
+            var_name="metric",
+            value_name="value",
+        )
+        long["value"] = long["value"].astype("float64").round(2)
+        return pa.Table.from_pandas(long, preserve_index=False).cast(_empty.schema)
+
+    out = ds.map_batches(melt, batch_format="pandas", batch_size=None).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values(["o_orderkey", "metric"]).reset_index(drop=True)[
+        ["o_orderkey", "metric", "value"]
+    ]
+
+
+QUERIES["q_unpivot_metrics"] = q_unpivot_metrics
+ORACLE_SQL["q_unpivot_metrics"] = """
+    SELECT o_orderkey, metric, ROUND(CAST(value AS DOUBLE), 2) AS value
+    FROM (
+      UNPIVOT (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                      CAST(o_custkey AS DOUBLE) AS o_custkey
+               FROM orders WHERE o_orderkey % 997 = 0)
+      ON o_totalprice, o_custkey
+      INTO NAME metric VALUE value
+    )
+    ORDER BY o_orderkey, metric
+"""
