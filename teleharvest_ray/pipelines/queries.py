@@ -3719,3 +3719,65 @@ ORACLE_SQL["q_unpivot_metrics"] = """
     )
     ORDER BY o_orderkey, metric
 """
+
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention analysis: users cohorted by first-event day, counted
+    distinctly per week offset k since their cohort. One hash-bucket
+    shuffle co-locates each user (buckets partition users, so per-bucket
+    distinct counts ADD); per bucket everything is vectorized (transform-min
+    cohort, integer week offset, drop_duplicates), and the final reduce
+    packs (cohort, k) into ONE int64 key — multi-key string groupby costs
+    13 s of sort-shuffle overhead at sf0.1 (measured, see q_gini) where the
+    packed-int path costs ~1 s. All day/week math is integer floor division
+    on epoch-us, mirroring SQL `//` exactly."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    n_buckets = 64
+    _us_day = np.int64(86_400_000_000)
+
+    def add_b(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _us_day
+        f = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(), "day": day}
+        ).drop_duplicates()
+        f["__b"] = (f["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return f
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        k = (g["day"].to_numpy() - cohort.to_numpy()) // 7
+        f = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "cohort": cohort.to_numpy(), "k": k}
+        ).drop_duplicates()
+        key = f["cohort"].to_numpy() * np.int64(100_000) + f["k"].to_numpy()
+        uk, n = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": uk, "n": n.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(add_b, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: per_bucket(g.drop(columns="__b")), batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    key = agg["key"].to_numpy(dtype=np.int64)
+    agg["cohort_day"] = key // 100_000
+    agg["week_k"] = key % 100_000
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return agg.sort_values(["cohort_day", "week_k"]).reset_index(drop=True)[
+        ["cohort_day", "week_k", "n_users"]
+    ]
+
+
+QUERIES["q_retention_cohorts"] = q_retention_cohorts
+ORACLE_SQL["q_retention_cohorts"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id),
+    r AS (SELECT DISTINCT e.user_id, c.cohort, (e.day - c.cohort) // 7 AS k
+          FROM e JOIN c USING (user_id))
+    SELECT CAST(cohort AS BIGINT) AS cohort_day, CAST(k AS BIGINT) AS week_k,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM r GROUP BY cohort, k ORDER BY cohort, k
+"""
