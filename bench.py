@@ -114,6 +114,9 @@ def main() -> None:
     run("q_similarity_topk", q.q_similarity_topk)
     run("q_shared_spans", q.q_shared_spans)
     run("q_prepare_corpus", q.q_prepare_corpus)
+    run("q_kmeans", q.q_kmeans)
+    run("q_tfidf_top_terms", q.q_tfidf_top_terms)
+    run("q_funnel_stages", q.q_funnel_stages)
 
     headline = timings["validate_transcripts"]
     out = {

@@ -193,3 +193,39 @@ def test_funnel_partition_invariant(ray_session):
         )
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_funnel_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n).astype("int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase", "signup", "error"], n),
+        }
+    )
+    stages = ["view", "click", "purchase"]
+    got = (
+        w.funnel_stages(rd.from_pandas(df).repartition(5), "user_id", "ts", "event_type", stages)
+        .to_pandas()
+        .set_index("user_id")["stage_reached"]
+        .to_dict()
+    )
+
+    # brute force: literal per-user scan
+    exp = {}
+    rel = df[df.event_type.isin(stages)]
+    for u, g in rel.groupby("user_id"):
+        reached, t_prev = 0, None
+        for k, st in enumerate(stages):
+            cand = g[g.event_type == st]
+            if k > 0:
+                cand = cand[cand.ts > t_prev]
+            if not len(cand):
+                break
+            t_prev = cand.ts.min()
+            reached = k + 1
+        exp[u] = reached
+    assert got == exp
