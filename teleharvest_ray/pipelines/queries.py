@@ -3781,3 +3781,103 @@ ORACLE_SQL["q_retention_cohorts"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM r GROUP BY cohort, k ORDER BY cohort, k
 """
+
+
+def q_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Sequence/path mining: the 15 most common 3-step event-type paths over
+    each user's (ts, event_id)-ordered stream. One user-bucket shuffle
+    co-locates streams; inside a bucket the trigram count happens in
+    FACTORIZED code space (pack three small codes into one int64, one
+    np.unique) with path strings materialized only for the unique triples —
+    the q_bigram_counts shape lifted to keyed ordered sequences."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = 64
+
+    def add_b(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__b"] = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b
+
+    _empty = pa.table({"path": pa.nulls(0, pa.string()), "n": pa.nulls(0, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        if len(u) < 3:
+            return _empty
+        codes, types = pd.factorize(g["event_type"], sort=False)
+        codes = codes.astype(np.int64)
+        v = np.int64(len(types))
+        ok = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not ok.any():
+            return _empty
+        key = codes[:-2][ok] * v * v + codes[1:-1][ok] * v + codes[2:][ok]
+        uk, n = np.unique(key, return_counts=True)
+        paths = [f"{types[k // (v * v)]}>{types[(k // v) % v]}>{types[k % v]}" for k in uk]
+        return pa.table({"path": pa.array(paths, pa.string()), "n": pa.array(n.astype(np.int64))})
+
+    out = (
+        ds.map_batches(add_b, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: per_bucket(g.drop(columns="__b")), batch_format="pandas")
+        .repartition(2)  # bucket partials are tiny -> avoid empty
+        # schema-less aggregate output partitions (q_pricing pattern)
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "path"], ascending=[False, True]).head(15)
+    return out.reset_index(drop=True)[["path", "n"]]
+
+
+QUERIES["q_event_paths"] = q_event_paths
+ORACLE_SQL["q_event_paths"] = """
+    WITH o AS (SELECT event_type AS t1,
+                      LEAD(event_type, 1) OVER w AS t2,
+                      LEAD(event_type, 2) OVER w AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+"""
+
+
+def q_asof_forward(sf_dir: str) -> pd.DataFrame:
+    """Time-to-conversion: each view matched to the user's EARLIEST
+    at-or-after purchase — the forward as-of direction
+    (jn.asof_join(direction="forward"), the backward kernel on negated
+    integer timestamps, so both directions share one verified match path).
+    gap_us is exact integer microseconds, hash-exact vs DuckDB's
+    ASOF JOIN ... ON l.ts <= r.ts."""
+    cols = ["event_id", "ts", "user_id"]
+    v = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "view"
+    )
+    p = rd.read_parquet(
+        _p(sf_dir, "events"), columns=cols, filter=pc.field("event_type") == "purchase"
+    )
+    out = jn.asof_join(
+        v, p, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "purchase_event_id", "ts": "purchase_ts"},
+        direction="forward",
+    ).to_pandas()
+    out["gap_us"] = (
+        out["purchase_ts"].astype("int64") - out["ts"].astype("int64")
+    ).astype("int64")
+    out["purchase_event_id"] = out["purchase_event_id"].astype("int64")
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "purchase_event_id", "gap_us"]]
+
+
+QUERIES["q_asof_forward"] = q_asof_forward
+ORACLE_SQL["q_asof_forward"] = """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id AS event_id, v.user_id AS user_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY event_id
+"""

@@ -334,6 +334,7 @@ def asof_join(
     right_ts: str,
     right_cols: dict[str, str],
     n_buckets: int | None = None,
+    direction: str = "backward",
 ) -> Dataset:
     """Distributed as-of join — a custom operator Ray Data lacks (SURVEY.md
     §2 extras; the brief's canonical example). Each left row is matched to
@@ -354,7 +355,14 @@ def asof_join(
     Determinism contract (same as DuckDB ASOF JOIN): the right side should be
     unique on ``(on, right_ts)`` — among exact duplicates the selected row is
     arbitrary (and here depends on block order, which the shuffle permutes).
+
+    ``direction="forward"`` matches the EARLIEST right row with
+    ``right_ts >= left_ts`` instead (DuckDB ``ASOF JOIN ... ON l.ts <=
+    r.ts``) — implemented as the backward kernel on NEGATED integer
+    timestamps, so both directions share one verified match path.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rneeded = [on, right_ts] + [c for c in right_cols if c not in (on, right_ts)]
     right = right.select_columns(rneeded)
     left, right, total, n_buckets = _sized_buckets(left, right, n_buckets)
@@ -370,11 +378,17 @@ def asof_join(
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
 
+    def _ts_arr(s: pd.Series) -> np.ndarray:
+        a = s.to_numpy()
+        if np.issubdtype(a.dtype, np.datetime64):
+            a = a.astype("datetime64[us]").astype(np.int64)
+        return -a if direction == "forward" else a
+
     def _match_frames(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if not len(l) or not len(r):
             return _empty()
         m = asof_match(
-            l[on].to_numpy(), l[left_ts].to_numpy(), r[on].to_numpy(), r[right_ts].to_numpy()
+            l[on].to_numpy(), _ts_arr(l[left_ts]), r[on].to_numpy(), _ts_arr(r[right_ts])
         )
         hit = m >= 0
         if not hit.any():

@@ -345,3 +345,60 @@ def test_bloom_prefilter_actually_drops(ray_session):
     assert passed - true_matches < 200  # ~0.1% of 20k, generous margin
     got = jn.bloom_prefiltered_join(rd.from_pandas(left), rd.from_pandas(right), on="k").to_pandas()
     assert len(got) == true_matches
+
+
+def test_asof_forward_matches_brute_force(ray_session):
+    rng = np.random.default_rng(23)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l).astype("int64"),
+            "lts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n_l), unit="s"),
+            "lid": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_r).astype("int64"),
+            "rts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, n_r) * 7919 % (10**5), unit="s"),
+            "rid": np.arange(n_r, dtype=np.int64),
+        }
+    ).drop_duplicates(["k", "rts"])  # determinism contract
+    got = (
+        jn.asof_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_cols={"rid": "rid", "rts": "match_ts"},
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for _, row in left.iterrows():
+        cand = right[(right.k == row.k) & (right.rts >= row.lts)]
+        if len(cand):
+            best = cand.sort_values("rts").iloc[0]
+            exp_rows.append((row.lid, best.rid, best.rts))
+    exp = pd.DataFrame(exp_rows, columns=["lid", "rid", "match_ts"])
+    assert len(got) == len(exp)
+    merged = got.merge(exp, on="lid", suffixes=("", "_exp"))
+    assert (merged.rid == merged.rid_exp).all()
+    assert (merged.match_ts == merged.match_ts_exp).all()
+
+
+def test_asof_direction_validation(ray_session):
+    import pytest as _pytest
+
+    df = pd.DataFrame({"k": [1], "t": [1], "x": [1]})
+    with _pytest.raises(ValueError, match="backward|forward"):
+        jn.asof_join(
+            rd.from_pandas(df), rd.from_pandas(df), on="k", left_ts="t", right_ts="t",
+            right_cols={"x": "x2"}, direction="nearest",
+        )
