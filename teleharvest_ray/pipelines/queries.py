@@ -3881,3 +3881,85 @@ ORACLE_SQL["q_asof_forward"] = """
     FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
     ORDER BY event_id
 """
+
+
+def q_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """Survivorship rules for dedup: per duplicate cluster keep the doc from
+    the highest-priority source (numeric source suffix), ties to the lowest
+    doc_id. The selection is made ASSOCIATIVE by packing (priority, -doc_id)
+    into one int64 — m = pri * 2^40 + (2^40 - 1 - doc_id) — so the winner is a
+    plain Max aggregate over one groupby(cluster): no per-cluster
+    map_groups, no window shuffle. Clusters come from the same gram-edge
+    connected components as q_dedup_clusters; the cluster->doc attach is a
+    bucketed hash join."""
+    from ..stages import cluster as cl
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(docs, "text", "doc_id", n=4)
+    labels = cl.connected_components(edges, nodes=docs.select_columns(["doc_id"]))
+    labels = labels.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id"})[["doc_id", "cluster_id"]],
+        batch_format="pandas",
+        batch_size=None,
+    )
+    src = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+    joined = jn.bucketed_hash_join(labels, src, on="doc_id")
+
+    _pow40 = np.int64(1) << np.int64(40)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        pri = df["source"].str.extract(r"(\d+)$", expand=False).astype("int64").to_numpy()
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "cluster_id": df["cluster_id"].to_numpy(dtype=np.int64),
+                "m": pri * _pow40 + (_pow40 - np.int64(1) - doc),
+                "one": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    agg = (
+        joined.map_batches(pack, batch_format="pandas", batch_size=None)
+        .groupby("cluster_id")
+        .aggregate(Max("m", alias_name="m"), Sum("one", alias_name="n_docs"))
+        .to_pandas()
+    )
+    m = agg["m"].to_numpy(dtype=np.int64)
+    agg["kept_doc"] = _pow40 - np.int64(1) - (m % _pow40)
+    agg["kept_pri"] = m // _pow40
+    agg = agg.drop(columns="m")
+    for c in ("cluster_id", "kept_doc", "kept_pri", "n_docs"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("cluster_id").reset_index(drop=True)[
+        ["cluster_id", "kept_doc", "kept_pri", "n_docs"]
+    ]
+
+
+QUERIES["q_dedup_survivors"] = q_dedup_survivors
+ORACLE_SQL["q_dedup_survivors"] = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.v AS node, reach.label AS label
+        FROM reach JOIN e ON e.u = reach.node WHERE reach.label < e.v
+    ),
+    lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    s AS (SELECT lab.node AS doc_id, lab.cluster_id,
+                 CAST(regexp_extract(dd.source, '(\\d+)$', 1) AS BIGINT) AS pri
+          FROM lab JOIN documents dd ON lab.node = dd.doc_id),
+    r AS (SELECT cluster_id, doc_id, pri,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY pri DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+          FROM s)
+    SELECT cluster_id, doc_id AS kept_doc, pri AS kept_pri,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
