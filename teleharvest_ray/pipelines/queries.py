@@ -3963,3 +3963,103 @@ ORACLE_SQL["q_dedup_survivors"] = """
            CAST(n_docs AS BIGINT) AS n_docs
     FROM r WHERE rn = 1 ORDER BY cluster_id
 """
+
+
+def q_minmax_norm(sf_dir: str) -> pd.DataFrame:
+    """Feature scaling: per-group min-max normalization to ppm, INTEGER-EXACT
+    (norm_ppm = (x - min) * 10^6 // (max - min) — int64 both engines, no
+    float). Group extrema reduce through one tiny groupby (pure Min/Max
+    aggregates over per-batch partials), broadcast back as a frame, and the
+    normalization is a shuffle-free batch transform. Output sampled to
+    doc_id % 97 == 0 so the result stays result-sized."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def extrema_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("lang", sort=False)["n_chars"].agg(["min", "max"]).reset_index()
+        return g.rename(columns={"min": "lo", "max": "hi"})
+
+    ext = (
+        ds.map_batches(extrema_partial, batch_format="pandas", batch_size=None)
+        .repartition(2)
+        .groupby("lang")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    ext_ref = _ray.put(ext)
+
+    def norm(batch: pd.DataFrame, _r=ext_ref) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % 97 == 0]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "lang": pd.Series([], dtype=object),
+                    "norm_ppm": pd.Series([], dtype="int64"),
+                }
+            )
+        e = _ray.get(_r)
+        b = b.merge(e, on="lang", how="left")
+        x = b["n_chars"].to_numpy(dtype=np.int64)
+        lo = b["lo"].to_numpy(dtype=np.int64)
+        hi = b["hi"].to_numpy(dtype=np.int64)
+        b["norm_ppm"] = np.where(hi > lo, (x - lo) * np.int64(1_000_000) // (hi - lo), 0)
+        return b[["doc_id", "lang", "norm_ppm"]]
+
+    out = ds.map_batches(norm, batch_format="pandas", batch_size=None).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["norm_ppm"] = out["norm_ppm"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang", "norm_ppm"]]
+
+
+QUERIES["q_minmax_norm"] = q_minmax_norm
+ORACLE_SQL["q_minmax_norm"] = """
+    WITH e AS (SELECT lang, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+               FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang,
+           CAST(CASE WHEN e.hi > e.lo
+                     THEN (d.n_chars - e.lo) * 1000000 // (e.hi - e.lo)
+                     ELSE 0 END AS BIGINT) AS norm_ppm
+    FROM documents d JOIN e ON d.lang = e.lang
+    WHERE d.doc_id % 97 = 0 ORDER BY d.doc_id
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Time-series resample with gap fill: event counts per hour over the
+    FULL dense hour range (missing hours emitted as 0 — the property a
+    plain groupby cannot give). Counts and the range extrema reduce
+    through one shuffle of per-batch partials; the densify step runs on
+    the driver over the bounded hour domain (hours grow with time, not
+    with row count). Hour ids are integer floor division on epoch-us,
+    mirroring SQL // exactly."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    _us_h = np.int64(3_600_000_000)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _us_h
+        uh, n = np.unique(h, return_counts=True)
+        return pd.DataFrame({"hour": uh, "n": n.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .repartition(2)
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    full = pd.DataFrame({"hour": np.arange(counts["hour"].min(), counts["hour"].max() + 1)})
+    out = full.merge(counts, on="hour", how="left").fillna({"n": 0})
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)[["hour", "n"]]
+
+
+QUERIES["q_events_hourly"] = q_events_hourly
+ORACLE_SQL["q_events_hourly"] = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+               FROM events GROUP BY 1),
+    full_range AS (SELECT unnest(generate_series((SELECT MIN(hour) FROM c),
+                                                 (SELECT MAX(hour) FROM c))) AS hour)
+    SELECT f.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM full_range f LEFT JOIN c USING (hour) ORDER BY f.hour
+"""
