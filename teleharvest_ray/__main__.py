@@ -86,6 +86,13 @@ def main(argv=None):
     pr.add_argument("--token-budget", type=int, default=2048)
     pr.add_argument("--bench-mod", type=int, default=13, help="doc_id %% MOD == 0 is the held-out eval set")
 
+    qr = sub.add_parser(
+        "query", help="run a named analytics query from the queries() surface"
+    )
+    qr.add_argument("name", help="query name (e.g. q_pricing_summary); 'list' prints all")
+    qr.add_argument("--sf", default="/root/testdata/sf0.01", help="sf table directory")
+    qr.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -95,12 +102,33 @@ def main(argv=None):
         print(json.dumps(m))
         return 0
 
+    if args.cmd == "query" and args.name == "list":
+        from teleharvest_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        for n in sorted(QUERIES):
+            print(f"{n}\t{'oracle' if n in ORACLE_SQL else 'rows-only'}")
+        return 0
+
     ray = _ensure_ray()
     try:
         from teleharvest_ray.config import ValidationConfig
 
         cfg = ValidationConfig.from_env()
-        if args.cmd == "validate":
+        if args.cmd == "query":
+            import pandas as _pd
+
+            from teleharvest_ray.pipelines.queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}; try 'query list'", file=sys.stderr)
+                return 2
+            res = QUERIES[args.name](args.sf)
+            if not isinstance(res, _pd.DataFrame):
+                res = res.to_pandas()
+            with _pd.option_context("display.max_rows", None, "display.width", 200):
+                print(res if not args.limit else res.head(args.limit))
+            print(f"[{len(res)} rows]", file=sys.stderr)
+        elif args.cmd == "validate":
             from teleharvest_ray.pipelines.validate import run_validation
 
             s = run_validation(

@@ -162,3 +162,28 @@ def test_refresh_metrics_after_incremental_append(ray_session, tmp_path):
     k = set(map(tuple, got[["conv_id", "turn_idx", "check_id"]].drop_duplicates().itertuples(index=False)))
     assert ("conv-rm-1", 0, "metrics_missing") in k
     assert ("conv-rm-1", 1, "metrics_missing") not in k
+
+
+def test_cli_query_list_and_run():
+    r = subprocess.run(
+        [sys.executable, "-m", "teleharvest_ray", "query", "list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) >= 100
+    assert any(l.startswith("q_pricing_summary\toracle") for l in lines)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "teleharvest_ray", "query", "q_mad_by_lang",
+         "--sf", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert "lang" in r2.stdout and "[5 rows]" in r2.stderr
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "teleharvest_ray", "query", "nope"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 2
