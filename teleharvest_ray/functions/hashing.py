@@ -37,6 +37,43 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False).astype(_U64)
 
 
+#: polynomial-hash base shared with stages.text_analysis.FP_BASE — kept as a
+#: default parameter here so ``functions`` stays import-independent of
+#: ``stages``
+POLY_BASE = 1000003
+
+
+def poly_hash_strings(values, base: int = POLY_BASE) -> np.ndarray:
+    """uint64 polynomial rolling hash over code points —
+    ``h = sum(cp_j * B^(L-1-j)) mod 2^64`` — finished with splitmix64.
+
+    Unlike :func:`hash_strings` (SipHash), every step is 64-bit wraparound
+    arithmetic, so the exact hash is SQL-expressible (DuckDB HUGEINT halves;
+    see queries._fingerprint_sql / _simhash_sql) and any pipeline built on it
+    can be oracle-verified value-by-value. Vectorized: one utf-32 decode of
+    the concatenated batch + a segmented sum; nulls hash like empty strings
+    (splitmix64(0))."""
+    arr = np.asarray(pd.array(values, dtype=object), dtype=object)
+    texts = ["" if pd.isna(t) else t for t in arr.tolist()]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    h = np.zeros(len(texts), dtype=_U64)
+    cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(_U64)
+    if cps.size:
+        maxlen = int(lens.max())
+        pows = np.empty(maxlen, dtype=_U64)
+        pows[0] = 1
+        b = _U64(base)
+        with np.errstate(over="ignore"):
+            for k in range(1, maxlen):
+                pows[k] = pows[k - 1] * b
+            ends = np.cumsum(lens)
+            idx = np.repeat(ends, lens) - 1 - np.arange(cps.size)
+            prods = cps * pows[idx]
+            nz = lens > 0
+            h[nz] = np.add.reduceat(prods, (ends - lens)[nz])
+    return splitmix64(h)
+
+
 def combine(h: np.ndarray, extra: np.ndarray) -> np.ndarray:
     """Mix a second uint64 stream into an existing hash stream."""
     with np.errstate(over="ignore"):

