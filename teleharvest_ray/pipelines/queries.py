@@ -997,24 +997,65 @@ def q_latest_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "rnk"]).reset_index(drop=True)
 
 
+_SESSION_GAP_US = np.int64(1800) * 1_000_000
+_SESSION_BUCKETS = 32
+
+
+def _sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized sessionization of one hash bucket: ONE sort over
+    (user, ts, event_id), then segment boundaries by factorized user codes
+    and a segment-local cumsum of gap flags — no per-user Python callback
+    (the stages/windows.py segmented pattern; scale fix for the former
+    groupby(user).map_groups shape, which paid per-key overhead at 10^9
+    keys)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+    n = len(g)
+    if not n:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "session_id": pd.Series([], dtype="int64"),
+            }
+        )
+    codes = pd.factorize(g["user_id"], use_na_sentinel=True)[0]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = codes[1:] != codes[:-1]
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    gap = np.empty(n, dtype=bool)
+    gap[0] = False
+    gap[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+    gap &= ~new  # the first event of a user never opens a numbered gap
+    cs = np.cumsum(gap)
+    start_of = np.flatnonzero(new)[np.cumsum(new) - 1]
+    g["session_id"] = (cs - cs[start_of]).astype(np.int64)
+    return g[["user_id", "event_id", "session_id"]]
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
-    """Session assignment per user (30-min inactivity gap): per-group sorted
-    cumulative logic in map_groups — the stateful-ordered-stream shape the
-    reference's watermark loop embodies (processor.py:59-63)."""
+    """Session assignment per user (30-min inactivity gap) — the stateful-
+    ordered-stream shape the reference's watermark loop embodies
+    (processor.py:59-63). ONE hash-bucket shuffle co-locates users, then
+    each bucket sessionizes all its users in one segmented numpy pass."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(0) > 1800
-        g["session_id"] = gap.cumsum().astype("int64")
-        return g[["user_id", "event_id", "session_id"]]
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = (batch["user_id"].to_numpy(np.int64) % _SESSION_BUCKETS).astype(np.int32)
+        return batch
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: _sessionize_bucket(g.drop(columns="__b")), batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Session counts per user derived from q_sessionize (grouped rollup)."""
+    """Session counts per user derived from the sessionized stream (grouped
+    rollup of the bucket outputs — max session id + 1 per user)."""
     s = q_sessionize(sf_dir)
     out = s.groupby("user_id", as_index=False)["session_id"].max()
     out["n_sessions"] = out.pop("session_id") + 1
@@ -3334,6 +3375,39 @@ QUERIES["q_skew_join"] = q_skew_join
 ORACLE_SQL["q_skew_join"] = """
     SELECT user_id, event_id, c_mktsegment
     FROM events JOIN customer ON user_id = c_custkey
+    ORDER BY user_id, event_id
+"""
+
+
+def q_skew_join_left(sf_dir: str) -> pd.DataFrame:
+    """LEFT skew-aware join: hot keys broadcast, tail bucketed, with
+    NA-semantics for unmatched rows (joins.skew_join how='left' — the
+    promoted-dtype map is shared with the bucketed branch so hot and cold
+    blocks carry one schema). The dimension is restricted to c_custkey % 3
+    != 0 so ~1/3 of events genuinely exercise the unmatched-NA path."""
+    ev = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "user_id"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+
+    def sparse_dim(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 3 != 0))
+        return t.rename_columns(["user_id", "c_mktsegment"])
+
+    cust = cust.map_batches(sparse_dim, batch_format="pyarrow", batch_size=None)
+    out = jn.skew_join(ev, cust, on="user_id", how="left", hot_frac=0.008).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["c_mktsegment"] = out["c_mktsegment"].where(out["c_mktsegment"].notna(), "<none>")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)[
+        ["user_id", "event_id", "c_mktsegment"]
+    ]
+
+
+QUERIES["q_skew_join_left"] = q_skew_join_left
+ORACLE_SQL["q_skew_join_left"] = """
+    SELECT user_id, event_id, COALESCE(c_mktsegment, '<none>') AS c_mktsegment
+    FROM events LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                           WHERE c_custkey % 3 <> 0) ON user_id = c_custkey
     ORDER BY user_id, event_id
 """
 

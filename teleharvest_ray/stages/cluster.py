@@ -286,18 +286,32 @@ def _cc_edge_nodes(
     )
 
 
-def cluster_stats(labels: Dataset) -> Dataset:
+def cluster_stats(labels: Dataset, n_buckets: int = 64) -> Dataset:
     """Attach ``cluster_size`` and the canonical ``keep`` flag to a
-    ``(node, cluster_id)`` labeling — ONE groupby(cluster_id) shuffle, sizes
-    computed per group (never a cluster-count-sized driver collection)."""
+    ``(node, cluster_id)`` labeling — ONE hash-bucket shuffle co-locates each
+    cluster, then every bucket computes ALL its clusters' sizes in one
+    vectorized grouped-size pass (never a per-cluster Python callback:
+    dedup clustering yields cluster counts proportional to doc count, so a
+    callback per cluster is the per-key map_groups anti-pattern; never a
+    cluster-count-sized driver collection either)."""
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cluster_size"] = len(g)
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = (
+            batch["cluster_id"].to_numpy(np.int64).view(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return batch
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").reset_index(drop=True)
+        g["cluster_size"] = g.groupby("cluster_id", sort=False)["node"].transform("size").astype(np.int64)
         g["keep"] = (g["node"] == g["cluster_id"]).astype(np.int64)
         return g
 
-    return labels.groupby("cluster_id").map_groups(per_cluster, batch_format="pandas")
+    return (
+        labels.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -458,10 +458,32 @@ def simhash_candidates(
 # ---------------------------------------------------------------------------
 
 
-def char_jaccard_pairs(ds: Dataset, text_col: str, id_col: str, group_col: str, threshold: float) -> Dataset:
+#: pair-space block edge for char_jaccard_pairs: per step at most
+#: _CJ_BLOCK x _CJ_BLOCK similarity cells are materialized, so one hot group
+#: can never allocate an n^2 matrix (tests monkeypatch this to force multi-
+#: block coverage on small inputs)
+_CJ_BLOCK = 4096
+
+
+def char_jaccard_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float,
+    block: int | None = None,
+) -> Dataset:
     """All intra-group pairs with char-set Jaccard >= threshold (matches
     DuckDB's case-sensitive character-based ``jaccard``). Grouped to keep the
-    pair space bounded; vectorized via per-group char-presence bitsets."""
+    pair space bounded; vectorized via per-group char-presence bitsets.
+
+    The pair space is walked in ``_CJ_BLOCK``-square tiles (the
+    similarity._blockwise_topk_pairs pattern): peak memory per step is one
+    tile of int32 counts — bounded regardless of group size — so a hot group
+    degrades to more (streamable) tile steps, never to an n x n allocation."""
+    # resolve on the DRIVER and capture by value: workers re-import the
+    # module, so a bare global read would ignore test monkeypatches
+    block = int(block if block is not None else _CJ_BLOCK)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
@@ -488,13 +510,37 @@ def char_jaccard_pairs(ds: Dataset, text_col: str, id_col: str, group_col: str, 
             m = np.zeros((len(texts), len(alphabet)), dtype=bool)
             for i, t in enumerate(texts):
                 m[i, [amap[c] for c in set(t)]] = True
-        inter = (m.astype(np.int32) @ m.astype(np.int32).T)
+        n = len(texts)
+        mi = m.astype(np.int32)
         sizes = m.sum(1)
-        union = sizes[:, None] + sizes[None, :] - inter
-        jac = inter / np.maximum(union, 1)
-        ii, jj = np.triu_indices(len(texts), k=1)
-        keep = jac[ii, jj] >= threshold
-        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "jaccard": jac[ii, jj][keep]})
+        out_a, out_b, out_j = [], [], []
+        B = block
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            for j0 in range(i0, n, B):
+                j1 = min(j0 + B, n)
+                inter = mi[i0:i1] @ mi[j0:j1].T  # one tile, never n x n
+                union = sizes[i0:i1, None] + sizes[None, j0:j1] - inter
+                jac = inter / np.maximum(union, 1)
+                if i0 == j0:
+                    ii, jj = np.triu_indices(i1 - i0, k=1)
+                else:
+                    ii, jj = np.mgrid[0 : i1 - i0, 0 : j1 - j0]
+                    ii, jj = ii.ravel(), jj.ravel()
+                keep = jac[ii, jj] >= threshold
+                if keep.any():
+                    out_a.append(ids[i0:i1][ii[keep]])
+                    out_b.append(ids[j0:j1][jj[keep]])
+                    out_j.append(jac[ii, jj][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard": np.concatenate(out_j),
+            }
+        )
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
 

@@ -84,6 +84,40 @@ def _sentinel_fill(batch: pd.DataFrame, all_cols: list, dtypes: dict) -> pd.Data
     return pd.DataFrame(data)
 
 
+def _join_output_spec(left: Dataset, right: Dataset, on: str, how: str):
+    """Shared column/dtype contract for the partitioned joins: column lists,
+    per-side pandas dtypes, output column order (left cols + right cols with
+    ``_r`` collision suffix) and the deterministic output dtype map. Non-inner
+    joins NA-fill the unmatched side, so that side's int/bool output columns
+    are promoted to float64 UP FRONT — every task then emits the same schema
+    whether or not its slice had misses (a fully-matched slice would
+    otherwise keep int64 while one with misses promotes)."""
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    ldtypes = _pandas_dtypes(left)
+    rdtypes = _pandas_dtypes(right)
+    out_cols = lcols + [(c if c not in lcols else c + "_r") for c in rcols if c != on]
+    out_dtypes = dict(ldtypes)
+    rnames = {}
+    for c in rcols:
+        if c == on:
+            continue
+        rnames[c] = c if c not in lcols else c + "_r"
+        out_dtypes[rnames[c]] = rdtypes.get(c, np.dtype("O"))
+    if how != "inner":
+        na_cols = set()
+        if how in ("left", "outer"):
+            na_cols |= set(rnames.values())
+        if how in ("right", "outer"):
+            na_cols |= {c for c in lcols if c != on}
+        for c in na_cols:
+            dt = out_dtypes.get(c)
+            if dt is not None and (np.issubdtype(dt, np.integer) or dt == np.dtype(bool)):
+                out_dtypes[c] = np.dtype("float64")
+    return lcols, rcols, all_cols, ldtypes, rdtypes, out_cols, out_dtypes
+
+
 def bucketed_hash_join(
     left: Dataset,
     right: Dataset,
@@ -110,33 +144,9 @@ def bucketed_hash_join(
         left, right = left.materialize(), right.materialize()
         total = left.count() + right.count()
         n_buckets = int(min(4096, max(16, total // _ROWS_PER_BUCKET + 1)))
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
-    all_cols = lcols + [c for c in rcols if c not in lcols]
-    ldtypes = _pandas_dtypes(left)
-    rdtypes = _pandas_dtypes(right)
-    out_cols = lcols + [(c if c not in lcols else c + "_r") for c in rcols if c != on]
-    out_dtypes = dict(ldtypes)
-    rnames = {}
-    for c in rcols:
-        if c == on:
-            continue
-        rnames[c] = c if c not in lcols else c + "_r"
-        out_dtypes[rnames[c]] = rdtypes.get(c, np.dtype("O"))
-    # Non-inner joins NA-fill the unmatched side; promote that side's int /
-    # bool output columns to float64 UP FRONT so every bucket emits the same
-    # schema (otherwise a fully-matched bucket keeps int64 while a bucket
-    # with misses promotes — inconsistent blocks in one Dataset).
-    if how != "inner":
-        na_cols = set()
-        if how in ("left", "outer"):
-            na_cols |= set(rnames.values())
-        if how in ("right", "outer"):
-            na_cols |= {c for c in lcols if c != on}
-        for c in na_cols:
-            dt = out_dtypes.get(c)
-            if dt is not None and (np.issubdtype(dt, np.integer) or dt == np.dtype(bool)):
-                out_dtypes[c] = np.dtype("float64")
+    lcols, rcols, all_cols, ldtypes, rdtypes, out_cols, out_dtypes = _join_output_spec(
+        left, right, on, how
+    )
 
     fill_dtypes = {**rdtypes, **ldtypes}
 
@@ -654,11 +664,16 @@ def skew_join(
     pays the bucketed exchange. With no hot keys this degrades to exactly
     :func:`bucketed_hash_join`.
 
-    Inner-only for now: non-inner skew joins need the NA-promotion map
-    coordinated across the two streams; extend when a pipeline needs it.
+    Supports ``inner``, ``left`` and ``outer``. The decomposition is exact by
+    key partition (every key is hot xor cold), and every hot key appears in
+    the left side by construction (it was sampled from it), so no right-hot
+    row can be unmatched — the hot branch's ``left`` merge covers ``outer``
+    too. NA dtype promotion is coordinated with the bucketed branch through
+    the shared :func:`_join_output_spec` map, so fully-matched hot batches
+    emit the same (promoted) schema as cold buckets with misses.
     """
-    if how != "inner":
-        raise NotImplementedError("skew_join currently supports inner joins only")
+    if how not in ("inner", "left", "outer"):
+        raise NotImplementedError("skew_join supports inner/left/outer")
     # materialize: the sample, the hot/cold splits and the bucketed join all
     # re-consume these inputs; an expensive upstream should execute once
     left = left.materialize()
@@ -669,6 +684,7 @@ def skew_join(
         return bucketed_hash_join(left, right, on=on, how=how, n_buckets=n_buckets)
     hot_sorted = np.sort(hot)
     right = right.materialize()
+    _, rcols, _, _, rdtypes, out_cols, out_dtypes = _join_output_spec(left, right, on, how)
 
     def keep(batch: pd.DataFrame, want_hot: bool) -> pd.DataFrame:
         m = member_mask(hot_sorted, batch[on].to_numpy())
@@ -676,18 +692,34 @@ def skew_join(
 
     # hot right rows: key-count-bounded by the dimension contract
     right_hot = right.map_batches(lambda b: keep(b, True), batch_format="pandas").to_pandas()
+    if list(right_hot.columns) != rcols:  # all-hot-keys-missed: schema-complete empty
+        right_hot = pd.DataFrame(
+            {c: pd.Series(right_hot.get(c, []), dtype=rdtypes.get(c, "O")) for c in rcols}
+        )
     rh_ref = ray.put(right_hot)
+    hot_how = "inner" if how == "inner" else "left"
+
+    def _conform(out: pd.DataFrame) -> pd.DataFrame:
+        if not len(out):
+            return pd.DataFrame({c: pd.Series(dtype=out_dtypes.get(c, "O")) for c in out_cols})
+        for c, dt in out_dtypes.items():
+            if c in out.columns and out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass
+        return out[out_cols]
 
     def hot_join(batch: pd.DataFrame) -> pd.DataFrame:
         b = keep(batch, True)
-        return b.merge(ray.get(rh_ref), on=on, how="inner", suffixes=("", "_r"))
+        return _conform(b.merge(ray.get(rh_ref), on=on, how=hot_how, suffixes=("", "_r")))
 
     hot_joined = left.map_batches(hot_join, batch_format="pandas")
     cold_joined = bucketed_hash_join(
         left.map_batches(lambda b: keep(b, False), batch_format="pandas"),
         right.map_batches(lambda b: keep(b, False), batch_format="pandas"),
         on=on,
-        how="inner",
+        how=how,
         n_buckets=n_buckets,
     )
     return hot_joined.union(cold_joined)

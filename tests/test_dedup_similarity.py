@@ -309,3 +309,31 @@ def test_shared_span_pairs_end_to_end(ray_session):
     out = shared_span_pairs(rd.from_pandas(df), "text", "doc_id", min_tokens=8)
     assert len(out) == 1
     assert (int(out.id_a[0]), int(out.id_b[0]), int(out.max_run[0])) == (1, 2, 10)
+
+
+def test_char_jaccard_blockwise_hot_group(ray_session):
+    """One group much hotter than the others must produce identical pairs
+    whether the pair space is walked in tiny tiles or one dense pass —
+    proving the tile walk (which bounds memory to block^2 cells) loses no
+    pairs across tile boundaries."""
+    rng = np.random.default_rng(7)
+    alpha = list("abcdefghijklmnop")
+    rows = []
+    # hot group: 60 docs over a tiny alphabet -> many qualifying pairs
+    for i in range(60):
+        chars = rng.choice(alpha, size=rng.integers(3, 8), replace=False)
+        rows.append({"doc_id": i, "text": "".join(chars), "source": "hot"})
+    for i in range(5):
+        rows.append({"doc_id": 100 + i, "text": "xyz" + alpha[i], "source": "cold"})
+    df = pd.DataFrame(rows)
+
+    def run(block):
+        out = dd.char_jaccard_pairs(
+            rd.from_pandas(df), "text", "doc_id", "source", threshold=0.5, block=block
+        ).to_pandas()
+        return set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+
+    dense = run(10_000)  # one tile covers everything (the old dense shape)
+    tiled = run(7)  # forces diagonal AND off-diagonal tiles in the hot group
+    assert dense == tiled
+    assert len(dense) > 10  # the hot group actually exercises multi-tile pairing

@@ -131,3 +131,32 @@ def test_grouping_sets_rejects_bad_set(sales):
     _, ds = sales
     with pytest.raises(ValueError, match="not a subset"):
         olap.grouping_sets_sums(ds, ["region"], [["bogus"]], ["amount"])
+
+
+def test_skew_join_left_outer_na_semantics(ray_session):
+    """LEFT/OUTER skew joins: the hot key (present in left only at half the
+    rows, ABSENT from right) must surface with NA right columns, dtypes
+    matching the bucketed branch's promoted map, across both branches."""
+    from teleharvest_ray.stages.joins import skew_join
+
+    n = 6_000
+    left = pd.DataFrame(
+        {"k": np.r_[np.full(n // 2, 7_000_000), np.arange(n // 2)], "v": np.arange(n)}
+    )
+    # right misses the hot key AND every 3rd cold key
+    cold = np.arange(n // 2)
+    cold = cold[cold % 3 != 0]
+    right = pd.DataFrame({"k": cold, "w": cold * 10})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("left", "outer"):
+        exp = left.merge(right, on="k", how=how).sort_values(["k", "v"]).reset_index(drop=True)
+        got = (
+            skew_join(lds, rds, on="k", how=how, hot_frac=0.05)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[exp.columns.tolist()]
+        )
+        # hot rows are unmatched -> w must be NaN there, float64 everywhere
+        assert got["w"].dtype == np.dtype("float64")
+        pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
