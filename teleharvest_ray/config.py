@@ -33,6 +33,11 @@ class ValidationConfig:
     # scoring sub-chain (low_score / low_score_alt and their derived columns)
     # is skipped entirely and rows pass with those columns null.
     scoring_enabled: bool = True
+    # Scorer injection seam (the reference's evaluation/rewrite ABC,
+    # services/interfaces.py:22-48): "builtin" = the deterministic
+    # textfuncs kernels; "module:factory" = construct a custom scorer once
+    # per process (functions/scoring.get_scorer).
+    scorer: str = "builtin"
 
     # --- target-only knobs (north_rule) ---
     # Salt buckets for the uniqueness hash-shuffle (hot-conversation defuse).

@@ -469,6 +469,55 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lang_id_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Lang-ID certificate: language-marked docs planted deterministically
+    from doc_id (three UNIQUE marker words of the true language + neutral
+    filler), scored by the real LangIdStage actor pool. Output pins
+    ``n_correct = n_docs`` — the plant is unambiguous by construction
+    (shared cross-language markers are excluded), so ANY misprediction
+    becomes a value-hash mismatch, not a silent accuracy drop. acc_ok
+    asserts accuracy ≥ 0.95 (the q_ann_recall/q_hll_accuracy certificate
+    pattern)."""
+    from ..stages.text_analysis import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    counts = {w: sum(w in _LANG_MARKERS[l] for l in langs) for l in langs for w in _LANG_MARKERS[l]}
+    uniq = [sorted(w for w in _LANG_MARKERS[l] if counts[w] == 1) for l in langs]
+    width = min(len(u) for u in uniq)
+    mk = np.array([u[:width] for u in uniq], dtype=object)  # (n_langs, width)
+    lang_arr = np.array(langs, dtype=object)
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def plant(tbl: pa.Table) -> pd.DataFrame:
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = (did % len(langs)).astype(np.int64)
+        w1 = mk[li, (did // 7) % width]
+        w2 = mk[li, (did // 11) % width]
+        w3 = mk[li, (did // 13) % width]
+        text = w1 + " zz " + w2 + " qq " + w3 + " xylophone"
+        return pd.DataFrame({"doc_id": did, "text": text, "lang_true": lang_arr[li]})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    scored = planted.map_batches(ta.LangIdStage, batch_format="pandas", concurrency=2, batch_size=2048)
+
+    def verdicts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(batch))],
+                "c": [np.int64((batch["lang_pred"] == batch["lang_true"]).sum())],
+            }
+        )
+
+    agg = scored.map_batches(verdicts, batch_format="pandas", batch_size=None).aggregate(
+        Sum("n", alias_name="n_docs"), Sum("c", alias_name="n_correct")
+    )
+    acc_ok = np.int64(agg["n_correct"] >= 0.95 * agg["n_docs"])
+    return pd.DataFrame(
+        [{"n_docs": np.int64(agg["n_docs"]), "n_correct": np.int64(agg["n_correct"]), "acc_ok": acc_ok}]
+    )
+
+
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     """Per-doc 64-bit content fingerprint (oracle-backed: the polynomial
     rolling hash + splitmix64 finalizer is reproduced bit-exactly in DuckDB
@@ -1801,6 +1850,15 @@ QUERIES["q_split_counts"] = q_split_counts
 ORACLE_SQL["q_split_counts"] = _hash_split_sql()
 ORACLE_SQL["q_fingerprint"] = _fingerprint_sql()
 ORACLE_SQL["q_simhash_pairs"] = _simhash_sql()
+QUERIES["q_lang_id_accuracy"] = q_lang_id_accuracy
+# certificate oracle (q_ann_recall pattern): n_docs ties to the table,
+# n_correct = n_docs pins EXACT per-doc correctness of the planted docs
+# (the plant uses only single-language marker words), acc_ok pins the
+# >=0.95 accuracy bar
+ORACLE_SQL["q_lang_id_accuracy"] = """
+    SELECT COUNT(*) AS n_docs, COUNT(*) AS n_correct, CAST(1 AS BIGINT) AS acc_ok
+    FROM documents
+"""
 ORACLE_SQL["q_minhash_pairs"] = """
     WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
                WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
@@ -4390,10 +4448,13 @@ SELECT conv_id, turn_idx, check_id, detail FROM (
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
-# dict is reordered so the 48 still-unrecorded queries plus the round-4
-# additions (q_validate_violations, the newly oracle-backed q_simhash_pairs)
-# occupy the first 50 slots — the union of driver files across rounds then
-# covers the whole surface. See README "Driver-record rotation".
+# dict is reordered so the still-unrecorded ORACLE-BACKED queries plus the
+# round-4 additions (q_validate_violations, the newly oracle-backed
+# q_simhash_pairs, q_lang_id_accuracy, q_skew_join_left) occupy the first 50
+# slots — the union of driver files across rounds then covers every
+# oracle-backed entry. The two rows-only entries still unrecorded
+# (q_quarantine_export, q_schema_report — manifest/layout-checked in tests/)
+# rotate in next round. See README "Driver-record rotation".
 # ---------------------------------------------------------------------------
 
 _ROUND4_FRONT = [
@@ -4411,7 +4472,7 @@ _ROUND4_FRONT = [
     "q_mode_by_group",
     "q_burst_events",
     "q_temperature_sample",
-    "q_quarantine_export",
+    "q_lang_id_accuracy",
     "q_sorted_ranks",
     "q_group_distinct_hll",
     "q_prepare_corpus",
@@ -4423,7 +4484,7 @@ _ROUND4_FRONT = [
     "q_epoch_shuffle",
     "q_domain_checks",
     "q_null_report",
-    "q_schema_report",
+    "q_skew_join_left",
     "q_kll_quantile_by_type",
     "q_rollup_pricing",
     "q_pivot_event_quarters",

@@ -29,6 +29,14 @@ from ray.data import Dataset
 from ..functions.textfuncs import BOW_DIM, hashed_bow
 
 
+def _to_strings(texts) -> list:
+    """Arrow column / sequence → list[str] with nulls as '' (the shape
+    sentence-transformers' encode expects)."""
+    if hasattr(texts, "to_pylist"):
+        texts = texts.to_pylist()
+    return ["" if t is None else t for t in texts]
+
+
 class EmbeddingStage:
     """Callable-class stage for ``map_batches(EmbeddingStage, concurrency=N)``.
 
@@ -44,15 +52,15 @@ class EmbeddingStage:
         else:
             try:
                 from sentence_transformers import SentenceTransformer  # type: ignore
-            except ImportError as e:  # pragma: no cover - no model lib in container
+            except ImportError as e:
                 raise ImportError(
                     f"embedding model {model!r} needs the sentence-transformers "
                     "package (not installed in this environment); use "
                     "model='hashed_bow' for the deterministic built-in proxy"
                 ) from e
-            m = SentenceTransformer(model)  # pragma: no cover
-            self._encode = lambda texts: np.asarray(  # pragma: no cover
-                m.encode([t or "" for t in texts], show_progress_bar=False), dtype=np.float64
+            m = SentenceTransformer(model)  # once per actor — NOT per batch
+            self._encode = lambda texts: np.asarray(
+                m.encode(_to_strings(texts), show_progress_bar=False), dtype=np.float64
             )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:

@@ -45,19 +45,53 @@ def attach_payload_meta(tbl: pa.Table, payload_col: str) -> pa.Table:
 
 
 class ImageDecodeStage:
-    """Actor-pool decode stage. Real plumbing, STUBBED kernel.
+    """Actor-pool decode stage: a REAL PIL decode branch behind the import
+    gate, a deterministic stub otherwise.
 
-    ``__init__`` is where a real implementation loads the codec / model once
-    per actor; ``__call__`` decodes a batch. Without an imaging library the
-    kernel either raises (strict=True) or produces a deterministic fake
-    feature vector from the payload bytes (strict=False) so the pipeline
-    shape stays testable.
+    ``__init__`` loads the codec once per actor (the A3 load-once pattern);
+    ``__call__`` decodes a batch. ``codec`` selects the kernel:
+
+    - ``"auto"`` (default): PIL if importable, else the stub.
+    - ``"pil"``: require PIL (``ImportError`` when absent — this container
+      ships none, but the branch is executed in CI via an injected fake
+      module, tests/test_multimodal_text.py).
+    - ``"stub"``: the deterministic byte-fold features.
+    - ``strict=True`` with no codec raises ``NotImplementedError`` per batch
+      (the honest capability boundary).
     """
 
-    def __init__(self, target_size: tuple[int, int] = (64, 64), strict: bool = False):
+    def __init__(
+        self,
+        target_size: tuple[int, int] = (64, 64),
+        strict: bool = False,
+        codec: str = "auto",
+    ):
         self.target_size = target_size
         self.strict = strict
-        self.has_codec = _HAS_PIL
+        self._codec = None
+        if codec == "pil" or (codec == "auto" and _HAS_PIL):
+            # resolved at ACTOR construction so cluster images with the
+            # library (or tests injecting a fake) take the real branch
+            import importlib
+
+            self._codec = importlib.import_module("PIL.Image")
+        elif codec not in ("auto", "stub"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.has_codec = self._codec is not None
+
+    def _decode_pil(self, raw: list) -> np.ndarray:
+        """Real kernel: decode + grayscale + resize per payload, 8 band-mean
+        features. Decoding is inherently per-payload (codec API); the actor
+        pool parallelizes across batches."""
+        import io
+
+        feats = np.zeros((len(raw), 8), dtype=np.float32)
+        for i, r in enumerate(raw):
+            img = self._codec.open(io.BytesIO(r)).convert("L").resize(self.target_size)
+            px = np.asarray(img, dtype=np.float32).ravel()
+            if px.size:
+                feats[i] = [float(seg.mean()) if len(seg) else 0.0 for seg in np.array_split(px, 8)]
+        return feats
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.strict and not self.has_codec:
@@ -66,6 +100,13 @@ class ImageDecodeStage:
                 "environment; run with strict=False for the deterministic stub"
             )
         payloads = batch["payload"]
+        if self.has_codec:
+            raw = [p if isinstance(p, (bytes, bytearray)) else bytes(p) for p in payloads]
+            batch = batch.copy()
+            batch["decoded_w"] = self.target_size[0]
+            batch["decoded_h"] = self.target_size[1]
+            batch["features"] = list(self._decode_pil(raw))
+            return batch
         # STUB: a real decoder would decode+resize here. The deterministic
         # stand-in folds payload bytes into a tiny feature vector (8 segment
         # means, array_split boundaries) so downstream stages (dedup, ANN)

@@ -178,21 +178,29 @@ def evaluate_chain(
     sim = np.full(n, np.nan)
     alt_arr = pa.nulls(n, pa.string())
     if cfg.scoring_enabled and survived_cheap.any():
+        # the scorer seam (services/interfaces.py ABC analog): resolved from
+        # the config's spec string, constructed once per process
+        from ..functions.scoring import get_scorer
+
+        scorer = get_scorer(getattr(cfg, "scorer", "builtin"))
         # P8: score only surviving rows (expensive stages stay sparse)
         idx = np.flatnonzero(survived_cheap)
         sub_norm = text_norm.take(pa.array(idx))
-        s = tf.quality_score(sub_norm)
+        s = np.asarray(scorer.score(sub_norm), dtype=np.float64)
         score[idx] = s
         f_score[idx] = s <= cfg.min_score  # reference: score<=min → skip (processor.py:126)
         ok1 = idx[~(s <= cfg.min_score)]
         if len(ok1):
             # P9 alt rewrite + P10 alt score — ONE tokenization pass feeds the
             # alt score, the token count, and the hashed-BoW similarity
-            sub_alt = tf.rewrite_alt(text_norm.take(pa.array(ok1)))
+            sub_alt = scorer.rewrite(text_norm.take(pa.array(ok1)))
             if isinstance(sub_alt, pa.ChunkedArray):
                 sub_alt = sub_alt.combine_chunks()
             tok = tf.tokenize(sub_alt)
-            sa = tf.alt_score(tok)
+            sa = np.asarray(
+                scorer.score_alt(tok if getattr(scorer, "consumes_token_batch", False) else sub_alt),
+                dtype=np.float64,
+            )
             score_alt[ok1] = sa
             f_alt[ok1] = sa <= cfg.min_score_alt
             ok2_mask = ~(sa <= cfg.min_score_alt)

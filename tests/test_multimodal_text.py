@@ -126,3 +126,57 @@ def test_pii_scan_and_redact_parity():
     rescan = ta.pii_scan(pa.Table.from_pandas(red.rename(columns={}), preserve_index=False)).to_pandas()
     for name in ta.PII_PATTERNS:
         assert rescan[f"n_{name}"].fillna(0).sum() == 0, name
+
+
+def test_decode_real_branch_with_fake_pil(monkeypatch, payloads):
+    """Execute the REAL codec branch by injecting a fake PIL.Image module:
+    codec loads once per stage, each payload is open->convert->resize'd and
+    the 8 band-mean features come from the fake pixel matrix."""
+    import sys
+    import types
+
+    opens = []
+
+    class _FakeImg:
+        def __init__(self, data):
+            self.data = data
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            self.size = size
+            return self
+
+        def __array__(self, dtype=None):
+            # 4x4 constant image whose value is the payload length
+            return np.full((4, 4), float(len(self.data)), dtype=dtype or np.float32)
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+
+    def _open(bio):
+        data = bio.read()
+        opens.append(len(data))
+        return _FakeImg(data)
+
+    fake_image_mod.open = _open
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    stage = mm.ImageDecodeStage(target_size=(4, 4), codec="pil")
+    assert stage.has_codec
+    df = pd.DataFrame({"payload_id": [0, 1], "payload": [b"abc", b"0123456789"]})
+    out = stage(df)
+    # every feature band of a constant image equals the payload byte length
+    assert [f[0] for f in out["features"]] == [3.0, 10.0]
+    assert all(np.allclose(f, f[0]) for f in out["features"])
+    assert opens == [3, 10]
+    assert (out["decoded_w"] == 4).all() and (out["decoded_h"] == 4).all()
+
+
+def test_decode_codec_validation():
+    with pytest.raises(ValueError, match="unknown codec"):
+        mm.ImageDecodeStage(codec="libjpeg")

@@ -163,3 +163,64 @@ def test_er_low_views_exempt():
     # but reactions=0 → metrics_missing (processor.py:147-157: 0 fails too)
     vio = chain_violations(ann).to_pandas()
     assert set(vio.check_id) == {"metrics_missing"}
+
+
+def test_scorer_injection_seam(monkeypatch):
+    """A custom scorer plugged in via the config's 'module:factory' spec
+    drives P8-P10: constructed once per process, receives the rewritten
+    TEXT (no consumes_token_batch flag), and its thresholds decide the
+    low_score / low_score_alt verdicts."""
+    import sys
+    import types
+
+    import pyarrow as pa
+
+    from teleharvest_ray.functions import scoring
+
+    made = []
+
+    class EveryOther:
+        def score(self, texts):
+            # fail every odd original position (encoded in text suffix)
+            return np.array([100.0 if t.endswith("0") else 1.0 for t in texts.to_pylist()])
+
+        def rewrite(self, texts):
+            return texts  # identity rewrite
+
+        def score_alt(self, texts):
+            assert isinstance(texts, (pa.Array, pa.ChunkedArray))  # not a TokenBatch
+            return np.full(len(texts), 99.0)
+
+    def make():
+        made.append(1)
+        return EveryOther()
+
+    mod = types.ModuleType("fake_scorer_mod")
+    mod.make = make
+    monkeypatch.setitem(sys.modules, "fake_scorer_mod", mod)
+    scoring.get_scorer.cache_clear()
+
+    cfg = ValidationConfig(min_len=1, stop_words=(), scorer="fake_scorer_mod:make")
+    base = "x " * 40
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(4)], pa.string()),
+            "turn_idx": pa.array(np.arange(4, dtype=np.int32), pa.int32()),
+            "text": pa.array([base + str(i % 2) for i in range(4)], pa.string()),
+        }
+    )
+    ann = evaluate_chain(tbl, cfg)
+    ann2 = evaluate_chain(tbl, cfg)  # second batch: factory NOT re-invoked
+    assert made == [1]
+    ff = ann["first_failing_check"].to_pylist()
+    assert ff == [None, "low_score", None, "low_score"]
+    assert ann["score_alt"].to_pylist()[0] == 99.0
+    assert ann2["first_failing_check"].to_pylist() == ff
+    scoring.get_scorer.cache_clear()
+
+
+def test_scorer_spec_validation():
+    from teleharvest_ray.functions.scoring import get_scorer
+
+    with pytest.raises(ValueError, match="scorer spec"):
+        get_scorer("nonsense")
