@@ -140,6 +140,7 @@ def derive_transcript(tbl: pa.Table) -> pa.Table:
     forwards = pa.array((did * 7) % 20, pa.int64())
     return pa.table(
         {
+            "doc_id": pa.array(did),  # provenance passthrough (shard = doc_id // 100)
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array((did % 10).astype(np.int32), pa.int32()),
             "text": pa.array(t, pa.string()),
@@ -167,7 +168,23 @@ def q_validate_violations(sf_dir: str) -> pd.DataFrame:
     (conversation-count-sized, the S7 profile-broadcast pattern; the
     production engine scopes this map per partition file instead —
     pipelines/validate.py)."""
-    from ..stages.row_checks import build_conv_last, chain_violations, evaluate_chain
+    from ..stages.row_checks import chain_violations, evaluate_chain
+
+    derived, conv_ref, cfg = _vv_pipeline(sf_dir)
+
+    def run_chain(tbl: pa.Table, _r=conv_ref) -> pa.Table:
+        ann = evaluate_chain(tbl, cfg, exemplars=None, conv_last=_ray.get(_r))
+        return chain_violations(ann)
+
+    vio = derived.map_batches(run_chain, batch_format="pyarrow", batch_size=None).to_pandas()
+    return vio.sort_values(["check_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _vv_pipeline(sf_dir: str):
+    """Shared front of the flagship queries: derived transcript stream +
+    the broadcast per-conversation max-turn map (per-batch partials → tiny
+    groupby → ``ray.put``) + the default config."""
+    from ..stages.row_checks import build_conv_last
 
     cfg = ValidationConfig()
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -190,14 +207,88 @@ def q_validate_violations(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     conv_last = build_conv_last(conv_max["conv_id"].to_numpy(object), conv_max["mx"].to_numpy())
-    conv_ref = _ray.put(conv_last)
+    return derived, _ray.put(conv_last), cfg
 
-    def run_chain(tbl: pa.Table, _r=conv_ref) -> pa.Table:
+
+def q_validate_annotated(sf_dir: str) -> pd.DataFrame:
+    """The chain's NULL-STATE MACHINE, oracle-backed per row: every derived
+    column (er, score, score_alt, token_count) is nulled past the row's
+    first failure (SURVEY.md §1.1; reference processor.py's early returns),
+    and this query certifies exactly where each value stops being visible.
+    Values ship as integer ppm floors (-1 = not reached) so the comparison
+    is dtype-exact; each underlying value is a single IEEE expression, so
+    the floors agree bit-for-bit with DuckDB."""
+    from ..stages.row_checks import evaluate_chain
+
+    derived, conv_ref, cfg = _vv_pipeline(sf_dir)
+
+    def annotate(tbl: pa.Table, _r=conv_ref) -> pa.Table:
         ann = evaluate_chain(tbl, cfg, exemplars=None, conv_last=_ray.get(_r))
-        return chain_violations(ann)
 
-    vio = derived.map_batches(run_chain, batch_format="pyarrow", batch_size=None).to_pandas()
-    return vio.sort_values(["check_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+        def ppm(col: str) -> pa.Array:
+            v = ann[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.array(np.where(np.isnan(v), -1, np.floor(v * 1e6)).astype(np.int64))
+
+        tc = ann["token_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "conv_id": ann["conv_id"],
+                "turn_idx": ann["turn_idx"],
+                "first_failing_check": ann["first_failing_check"],
+                "er_ppm": ppm("er"),
+                "score_ppm": ppm("score"),
+                "score_alt_ppm": ppm("score_alt"),
+                "token_count": pa.array(np.where(np.isnan(tc), -1, tc).astype(np.int64)),
+            }
+        )
+
+    out = derived.map_batches(annotate, batch_format="pyarrow", batch_size=None).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def q_validate_partition_report(sf_dir: str) -> pd.DataFrame:
+    """Per-partition pass/fail + violation counts — the north_rule's rollup
+    record (pipelines/validate.py writes the production analog per file),
+    oracle-backed over the derived transcript: shard = doc_id // 100,
+    violations = chain failures + metrics_missing rows. Per-batch partials →
+    one tiny groupby; the violation rows themselves never ship."""
+    from ..stages.row_checks import evaluate_chain
+
+    derived, conv_ref, cfg = _vv_pipeline(sf_dir)
+
+    def partial(tbl: pa.Table, _r=conv_ref) -> pa.Table:
+        ann = evaluate_chain(tbl, cfg, exemplars=None, conv_last=_ray.get(_r))
+        did = ann["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = did // 100
+        ff = np.asarray(ann["first_failing_check"].to_pandas(), dtype=object)
+        views = ann["views"].to_numpy(zero_copy_only=False).astype(np.float64)
+        reac = ann["reactions"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bad = np.isnan(views) | (views == 0) | np.isnan(reac) | (reac == 0)
+        nv = pd.notna(ff).astype(np.int64) + bad.astype(np.int64)
+        g = pd.DataFrame({"shard": shard, "nv": nv}).groupby("shard", sort=False)["nv"].agg(
+            ["size", "sum"]
+        )
+        return pa.table(
+            {
+                "shard": pa.array(g.index.to_numpy()),
+                "n_rows": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "n_violations": pa.array(g["sum"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    out = (
+        derived.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(2)
+        .groupby("shard")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_violations", alias_name="n_violations"))
+        .to_pandas()
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_violations"] = out["n_violations"].astype("int64")
+    out["pass_flag"] = (out["n_violations"] == 0).astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)[
+        ["shard", "n_rows", "n_violations", "pass_flag"]
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -4366,15 +4457,19 @@ ORACLE_SQL["q_events_hourly"] = """
 """
 
 
-QUERIES["q_validate_violations"] = q_validate_violations
-# The flagship chain oracle: replays derive_transcript row-for-row, then the
-# P1→P10 + metrics_missing semantics of stages/row_checks (reference
-# processor.py:97-157). Byte-class counts via strlen deltas (alnum and the
-# space set are single-byte, so byte counts are exact for any input); single
-# IEEE divisions keep every float comparison bit-exact.
-ORACLE_SQL["q_validate_violations"] = r"""
+def _vv_cte() -> str:
+    """Shared WITH-block replaying derive_transcript + the staged chain
+    predicates (reference processor.py:97-157) in DuckDB. Byte-class counts
+    via strlen deltas (alnum and the space set are single-byte, so byte
+    counts are exact for any input); single IEEE divisions keep every float
+    comparison bit-exact. Yields relation ``chain`` exposing the raw staged
+    predicates (f_text/f_conv/f_short/f_stop/p_basic/f_er/reached_score),
+    the derived values (er_all, score, score_alt, n_words, stop_hit) and the
+    precedence-resolved ``check_id`` + ``metrics_bad`` — the flagship
+    oracles all select from it."""
+    return r"""
 WITH t AS (
-  SELECT
+  SELECT doc_id,
     CASE WHEN doc_id % 29 = 0 THEN '' ELSE 'c' || CAST(doc_id // 10 AS VARCHAR) END AS conv_id,
     CAST(doc_id % 10 AS INTEGER) AS turn_idx,
     CASE WHEN doc_id % 23 = 0 THEN ''
@@ -4400,49 +4495,104 @@ feat AS (
     strlen(text_norm) - strlen(regexp_replace(text_norm, '[0-9A-Za-z]', '', 'g')) AS alnum_b,
     strlen(regexp_replace(text_norm, '[\t\n\v\f\r ]', '', 'g')) AS nonspace_b,
     list_filter(string_split(trim(regexp_replace(lower(text_norm), '\s+', ' ', 'g')), ' '),
-                x -> x <> '') AS words
+                x -> x <> '') AS words,
+    CASE WHEN regexp_matches(text_norm, 'астролог') THEN 'астролог'
+         WHEN regexp_matches(text_norm, 'эзотери') THEN 'эзотери'
+         WHEN regexp_matches(text_norm, 'таро') THEN 'таро'
+         WHEN regexp_matches(text_norm, 'гадан') THEN 'гадан'
+    END AS stop_hit,
+    (views IS NOT NULL AND reactions IS NOT NULL AND forwards IS NOT NULL) AS er_complete,
+    CASE WHEN views > 0 THEN (reactions + forwards) / greatest(views, 1) ELSE 0.0 END AS er_all
   FROM norm
 ),
-chain AS (
-  SELECT conv_id, turn_idx, views, reactions,
-    CASE
-      WHEN text IS NULL OR text = '' THEN 'text_missing'
-      WHEN conv_id IS NULL OR conv_id = '' THEN 'conv_id_missing'
-      WHEN length(text_norm) < 200 THEN 'text_too_short'
-      WHEN regexp_matches(text_norm, 'астролог') THEN 'stop_word'
-      WHEN regexp_matches(text_norm, 'эзотери') THEN 'stop_word'
-      WHEN regexp_matches(text_norm, 'таро') THEN 'stop_word'
-      WHEN regexp_matches(text_norm, 'гадан') THEN 'stop_word'
-      WHEN views IS NOT NULL AND reactions IS NOT NULL AND forwards IS NOT NULL
-           AND (CASE WHEN views > 0 THEN (reactions + forwards) / greatest(views, 1) ELSE 0.0 END) < 0.025
-           AND views > 50 AND turn_idx <> conv_max THEN 'low_engagement'
-      WHEN (CASE WHEN nonspace_b > 0 THEN (100.0 * alnum_b) / greatest(nonspace_b, 1) ELSE 0.0 END) <= 80.0
-           THEN 'low_score'
-      WHEN (CASE WHEN len(words) > 0
-                 THEN (100.0 * len(list_distinct(words))) / len(words) ELSE 0.0 END) <= 85.0
-           THEN 'low_score_alt'
-    END AS check_id,
-    CASE
-      WHEN NOT (text IS NULL OR text = '' OR conv_id IS NULL OR conv_id = ''
-                OR length(text_norm) < 200) THEN
-        CASE WHEN regexp_matches(text_norm, 'астролог') THEN 'астролог'
-             WHEN regexp_matches(text_norm, 'эзотери') THEN 'эзотери'
-             WHEN regexp_matches(text_norm, 'таро') THEN 'таро'
-             WHEN regexp_matches(text_norm, 'гадан') THEN 'гадан'
-        END
-    END AS stop_hit
+c1 AS (
+  SELECT *,
+    (text IS NULL OR text = '') AS f_text,
+    (conv_id IS NULL OR conv_id = '') AS f_conv,
+    (length(text_norm) < 200) AS m_short,
+    (turn_idx = conv_max) AS is_last,
+    CASE WHEN nonspace_b > 0 THEN (100.0 * alnum_b) / greatest(nonspace_b, 1) ELSE 0.0 END AS score,
+    CASE WHEN len(words) > 0 THEN (100.0 * len(list_distinct(words))) / len(words) ELSE 0.0 END AS score_alt,
+    len(words) AS n_words
   FROM feat
+),
+c2 AS (
+  SELECT *,
+    (NOT f_text AND NOT f_conv AND m_short) AS f_short,
+    (NOT f_text AND NOT f_conv AND NOT m_short AND stop_hit IS NOT NULL) AS f_stop,
+    (NOT f_text AND NOT f_conv AND NOT m_short AND stop_hit IS NULL) AS p_basic
+  FROM c1
+),
+c3 AS (
+  SELECT *,
+    (p_basic AND er_complete AND er_all < 0.025 AND views > 50 AND NOT is_last) AS f_er
+  FROM c2
+),
+chain AS (
+  SELECT *,
+    (p_basic AND NOT f_er) AS reached_score,
+    CASE WHEN f_text THEN 'text_missing'
+         WHEN f_conv THEN 'conv_id_missing'
+         WHEN f_short THEN 'text_too_short'
+         WHEN f_stop THEN 'stop_word'
+         WHEN f_er THEN 'low_engagement'
+         WHEN p_basic AND NOT f_er AND score <= 80.0 THEN 'low_score'
+         WHEN p_basic AND NOT f_er AND score > 80.0 AND score_alt <= 85.0 THEN 'low_score_alt'
+    END AS check_id,
+    (views IS NULL OR views = 0 OR reactions IS NULL OR reactions = 0) AS metrics_bad
+  FROM c3
 )
+"""
+
+
+QUERIES["q_validate_violations"] = q_validate_violations
+# The flagship chain oracle: replays derive_transcript row-for-row, then the
+# P1→P10 + metrics_missing semantics of stages/row_checks (reference
+# processor.py:97-157) via the shared staged-predicate CTE.
+ORACLE_SQL["q_validate_violations"] = (
+    _vv_cte()
+    + """
 SELECT conv_id, turn_idx, check_id, detail FROM (
   SELECT conv_id, turn_idx, check_id,
          CASE WHEN check_id = 'stop_word' THEN stop_hit END AS detail
   FROM chain WHERE check_id IS NOT NULL
   UNION ALL
   SELECT conv_id, turn_idx, 'metrics_missing' AS check_id, NULL AS detail
-  FROM chain
-  WHERE views IS NULL OR views = 0 OR reactions IS NULL OR reactions = 0
+  FROM chain WHERE metrics_bad
 ) ORDER BY check_id, conv_id, turn_idx
 """
+)
+
+QUERIES["q_validate_annotated"] = q_validate_annotated
+# null-state machine oracle: value visible (ppm floor) iff the row reached
+# that stage, -1 past the first failure — replayed from the staged predicates
+ORACLE_SQL["q_validate_annotated"] = (
+    _vv_cte()
+    + """
+SELECT conv_id, turn_idx, check_id AS first_failing_check,
+  CASE WHEN p_basic AND er_complete THEN CAST(floor(er_all * 1000000) AS BIGINT) ELSE -1 END AS er_ppm,
+  CASE WHEN reached_score THEN CAST(floor(score * 1000000) AS BIGINT) ELSE -1 END AS score_ppm,
+  CASE WHEN reached_score AND score > 80.0
+       THEN CAST(floor(score_alt * 1000000) AS BIGINT) ELSE -1 END AS score_alt_ppm,
+  CASE WHEN reached_score AND score > 80.0 AND score_alt > 85.0
+       THEN CAST(n_words AS BIGINT) ELSE -1 END AS token_count
+FROM chain ORDER BY conv_id, turn_idx
+"""
+)
+
+QUERIES["q_validate_partition_report"] = q_validate_partition_report
+ORACLE_SQL["q_validate_partition_report"] = (
+    _vv_cte()
+    + """
+SELECT CAST(doc_id // 100 AS BIGINT) AS shard, COUNT(*) AS n_rows,
+       CAST(SUM((CASE WHEN check_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN metrics_bad THEN 1 ELSE 0 END)) AS BIGINT) AS n_violations,
+       CAST(CASE WHEN SUM((CASE WHEN check_id IS NOT NULL THEN 1 ELSE 0 END)
+                          + (CASE WHEN metrics_bad THEN 1 ELSE 0 END)) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
+FROM chain GROUP BY 1 ORDER BY shard
+"""
+)
 
 
 # ---------------------------------------------------------------------------
