@@ -2151,6 +2151,86 @@ ORACLE_SQL["q_running_total"] = """
 """
 
 
+def q_window_funcs(sf_dir: str) -> pd.DataFrame:
+    """The remaining window-function inventory — LEAD, running MIN, and a
+    bounded ROWS frame (4-row rolling sum) — through the same one-shuffle
+    segmented kernels as q_running_total. Integer sources keep the oracle
+    hash-exact; the lead sentinel is -1 (SQL COALESCE)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+
+    def floors(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("fvalue", pc.cast(pc.floor(tbl["value"]), pa.int64()))
+
+    out = wd.window_over(
+        ds.map_batches(floors, batch_format="pyarrow"),
+        key="user_id",
+        order=["ts", "event_id"],
+        specs=[
+            ("lead", "event_id", "next_event"),
+            ("running_min", "fvalue", "run_min_fvalue"),
+            ("rolling_sum", "fvalue", "roll4", 4),
+        ],
+    ).to_pandas()
+    out["next_event"] = out["next_event"].fillna(-1).astype("int64")
+    out["run_min_fvalue"] = out["run_min_fvalue"].astype("int64")
+    out["roll4"] = out["roll4"].astype("int64")
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "next_event", "run_min_fvalue", "roll4"]]
+
+
+QUERIES["q_window_funcs"] = q_window_funcs
+ORACLE_SQL["q_window_funcs"] = """
+    SELECT event_id, user_id,
+           COALESCE(LEAD(event_id) OVER w, -1) AS next_event,
+           CAST(MIN(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS run_min_fvalue,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY event_id
+"""
+
+
+def q_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact global PERCENT_RANK as integer ppm — built on the explicit
+    range-partitioned sort (ordering.global_ranks: boundary sample, range
+    tag, per-range lexsort + count-prefix offsets). ppm = (rank-1) * 10^6 //
+    (n-1), pure int64 both engines. Output sampled to o_orderkey % 31 == 0
+    so the result stays result-sized at any input scale."""
+    from ..stages import ordering as od
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = ds.materialize()
+    n = ds.count()
+    ranked = od.global_ranks(ds, key="o_totalprice", tiebreak=["o_orderkey"], keep=["o_orderkey"])
+
+    def to_ppm(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_orderkey"] % 31 == 0]
+        rk = b["rk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                "pct_rank_ppm": (rk - 1) * np.int64(1_000_000) // np.int64(max(n - 1, 1)),
+            }
+        )
+
+    out = ranked.map_batches(to_ppm, batch_format="pandas", batch_size=None).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["q_percent_rank"] = q_percent_rank
+ORACLE_SQL["q_percent_rank"] = """
+    SELECT o_orderkey, pct_rank_ppm FROM (
+      SELECT o_orderkey,
+             (ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 1000000
+               // greatest(COUNT(*) OVER () - 1, 1) AS pct_rank_ppm
+      FROM orders
+    ) WHERE o_orderkey % 31 = 0 ORDER BY o_orderkey
+"""
+
+
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination over documents: the held-out "eval" set is
     doc_id % 13 == 0; every other doc sharing >=1 word 4-gram with it is

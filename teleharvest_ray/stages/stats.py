@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import ValidationConfig
+from ..functions.hashing import hash_strings
 from ..functions.sketches import HistogramSketch, HyperLogLog, KLLSketch
 from ..functions.textfuncs import token_count
 from ..state.profile import ReferenceProfile
@@ -272,14 +273,39 @@ def grouped_hll_distinct(ds, group_col: str, key_col: str, p: int = 14):
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).materialize()
     width = int(min(512, max(2, parts.count() // 50_000 + 1)))
     parts = parts.repartition(width)
+    n_buckets = 64
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        h = HyperLogLog(p=p)
-        for b in g["blob"]:
-            h.merge(HyperLogLog.from_bytes(b))
-        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "estimate": [h.estimate()]})
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = (hash_strings(batch[group_col].to_numpy(object)) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return batch
 
-    return parts.groupby(group_col).map_groups(merge_group, batch_format="pandas")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one task merges ALL of its bucket's groups: blobs decode to an
+        # (n_blobs, 2^p) register matrix, segment-max merges each group in a
+        # single reduceat (max is associative/commutative, so this equals
+        # any sequential merge order) — no per-group Python task fan-out,
+        # which matters when group_col is high-cardinality
+        g = g.reset_index(drop=True)
+        regs = np.stack([HyperLogLog.from_bytes(b).registers for b in g["blob"]])
+        codes, uniques = pd.factorize(g[group_col], sort=True)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        merged = np.maximum.reduceat(regs[order], starts, axis=0)
+        ests = []
+        for row in merged:
+            h = HyperLogLog(p=p)
+            h.registers = row.copy()
+            ests.append(h.estimate())
+        return pd.DataFrame({group_col: np.asarray(uniques, dtype=object)[sc[starts]], "estimate": ests})
+
+    return (
+        parts.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("__b")
+        .map_groups(lambda g: merge_bucket(g.drop(columns="__b")), batch_format="pandas")
+    )
 
 
 def grouped_moments(

@@ -38,7 +38,9 @@ from .joins import _key_hash
 #: dominates toy inputs)
 _LOCAL_WINDOW_ROWS = 2_000_000
 
-#: supported window functions: name -> needs a source column
+#: supported window functions: name -> needs a source column.
+#: ``rolling_sum`` takes a 4th spec element: the frame length k, SQL's
+#: ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``.
 WINDOW_FNS = {
     "row_number": False,
     "running_count": False,
@@ -46,6 +48,7 @@ WINDOW_FNS = {
     "running_mean": True,
     "running_min": True,
     "running_max": True,
+    "rolling_sum": True,
     "lag": True,
     "lead": True,
 }
@@ -55,17 +58,18 @@ def segmented_windows(
     df: pd.DataFrame,
     key: str,
     order: list[str],
-    specs: list[tuple[str, str | None, str]],
+    specs: list[tuple],
 ) -> pd.DataFrame:
-    """Apply window ``specs`` — ``(fn, src_col or None, out_name)`` tuples,
-    fn in :data:`WINDOW_FNS` — to one frame. Sorts by ``[key, *order]`` and
+    """Apply window ``specs`` — ``(fn, src_col or None, out_name)`` tuples
+    (``rolling_sum`` adds a 4th element, the frame length), fn in
+    :data:`WINDOW_FNS` — to one frame. Sorts by ``[key, *order]`` and
     runs each function as a segmented vectorized kernel; returns the sorted
     frame with the output columns appended. Offset functions (lag/lead) emit
     NaN/NaT at segment edges (SQL NULL)."""
     df = df.sort_values([key, *order], kind="stable").reset_index(drop=True)
     n = len(df)
     if not n:
-        for fn, _src, name in specs:
+        for fn, _src, name, *_ in specs:
             df[name] = pd.Series(
                 dtype="int64" if fn in ("row_number", "running_count") else "float64"
             )
@@ -84,12 +88,24 @@ def segmented_windows(
     idx = np.arange(n)
     rn = idx - start_of  # 0-based rank within segment
 
-    for fn, src, name in specs:
+    for fn, src, name, *extra in specs:
         if WINDOW_FNS.get(fn) is None:
             raise ValueError(f"unknown window fn {fn!r}")
         if WINDOW_FNS[fn] and src is None:
             raise ValueError(f"{fn} needs a source column")
-        if fn in ("row_number", "running_count"):
+        if fn == "rolling_sum":
+            # bounded ROWS frame: pandas' grouped rolling kernel (Cython,
+            # segment-local by the label array) — a window with only NULLs
+            # yields NaN (SQL NULL), matching SUM OVER's empty-frame rule
+            k = int(extra[0]) if extra else 2
+            df[name] = (
+                df.groupby(seg, sort=False)[src]
+                .rolling(window=k, min_periods=1)
+                .sum()
+                .reset_index(level=0, drop=True)
+                .sort_index()
+            )
+        elif fn in ("row_number", "running_count"):
             df[name] = rn + 1
         elif fn in ("running_sum", "running_mean", "running_min", "running_max"):
             # pandas' grouped cumulatives are single-pass Cython kernels over
