@@ -117,6 +117,8 @@ def main() -> None:
     run("q_kmeans", q.q_kmeans)
     run("q_tfidf_top_terms", q.q_tfidf_top_terms)
     run("q_funnel_stages", q.q_funnel_stages)
+    run("q_validate_violations", q.q_validate_violations)
+    run("q_sessionize", q.q_sessionize)
 
     headline = timings["validate_transcripts"]
     out = {
