@@ -360,3 +360,97 @@ class SpaceSaving:
         s = cls(capacity=cap)
         s.counts, s.errs, s.n = counts, errs, n
         return s
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation, one-sided error)
+# ---------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``d`` hash rows of
+    ``w`` int64 counters. Update adds each key's weight at one cell per row;
+    a point estimate is the MIN over rows, so it NEVER undercounts and
+    overcounts by at most ``eps * N`` (eps = e/w, N = total weight) with
+    probability >= 1 - e^-d per query.
+
+    Merge = elementwise add (associative + commutative), so per-batch partial
+    sketches compose with Ray Data's partial+final reduce exactly like
+    :class:`HyperLogLog`. Row seeds are fixed (splitmix64 of the row index),
+    so sketches built in different processes / partition orders are
+    bit-identical state — the property every sketch in this module keeps.
+
+    Intended shape (queries.q_cms_user_counts): sketch-per-batch -> merge ->
+    certify the estimates against the exact groupby counts (est >= exact and
+    est - exact <= error_bound pinned TRUE by the SQL oracle) — the
+    candidates-then-verify paradigm of :class:`SpaceSaving`, in certificate
+    form.
+    """
+
+    __slots__ = ("d", "w", "table")
+
+    def __init__(self, d: int = 4, w: int = 2048, table: np.ndarray | None = None):
+        self.d = d
+        self.w = w
+        self.table = table if table is not None else np.zeros((d, w), dtype=np.int64)
+
+    def _cells(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) counter indices for key hashes ``h`` — one splitmix64 mix
+        per row with a fixed per-row seed."""
+        h = h.astype(_U64, copy=False)
+        out = np.empty((self.d, len(h)), dtype=np.int64)
+        for r in range(self.d):
+            seed = splitmix64(np.asarray([r + 1], dtype=_U64))[0]
+            out[r] = (splitmix64(h ^ seed) % _U64(self.w)).astype(np.int64)
+        return out
+
+    def update_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if len(h) == 0:
+            return
+        cells = self._cells(h)
+        wts = (
+            np.ones(len(h), dtype=np.int64)
+            if weights is None
+            else np.asarray(weights, dtype=np.int64)
+        )
+        for r in range(self.d):
+            np.add.at(self.table[r], cells[r], wts)
+
+    def update_ints(self, values: np.ndarray) -> None:
+        self.update_hashes(splitmix64(np.asarray(values).astype(_U64)))
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.empty(0, dtype=np.int64)
+        cells = self._cells(h)
+        ests = np.empty((self.d, len(h)), dtype=np.int64)
+        for r in range(self.d):
+            ests[r] = self.table[r][cells[r]]
+        return ests.min(axis=0)
+
+    def estimate_ints(self, values: np.ndarray) -> np.ndarray:
+        return self.estimate_hashes(splitmix64(np.asarray(values).astype(_U64)))
+
+    def total(self) -> int:
+        """Total inserted weight N (any row's sum — all rows see every update)."""
+        return int(self.table[0].sum())
+
+    def error_bound(self) -> int:
+        """ceil(e/w * N): the classic one-sided overcount bound."""
+        return int(np.ceil(np.e / self.w * self.total()))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("CountMinSketch shape mismatch")
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return zlib.compress(
+            pickle.dumps((self.d, self.w, self.table), protocol=4), 1
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        d, w, table = pickle.loads(zlib.decompress(b))
+        return cls(d=d, w=w, table=table)

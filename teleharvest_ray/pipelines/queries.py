@@ -29,7 +29,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import ValidationConfig
 from ..functions import textfuncs as tf
-from ..functions.sketches import HyperLogLog
+from ..functions.sketches import CountMinSketch, HyperLogLog
 from ..sources.datagen import GenSpec, generate
 from ..stages import dedup as dd
 from ..stages import joins as jn
@@ -4673,6 +4673,123 @@ SELECT CAST(doc_id // 100 AS BIGINT) AS shard, COUNT(*) AS n_rows,
 FROM chain GROUP BY 1 ORDER BY shard
 """
 )
+
+
+def q_dup_ngram_frac(sf_dir: str) -> pd.DataFrame:
+    """Gopher's duplicate-n-gram quality gate (count-based form, n=3): per
+    doc, the fraction of trigram occurrences whose trigram repeats within the
+    doc (stages/text_analysis.dup_ngram_stats — one explode + run-length
+    counting, the top-bigram machinery generalized). Completes the
+    repetition-gate family of q_repetition_filter (Rae et al. 2021 A1)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: ta.dup_ngram_stats(t, n=3), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_dup_ngram_frac"] = q_dup_ngram_frac
+ORACLE_SQL["q_dup_ngram_frac"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+          FROM d),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    per AS (SELECT doc_id, SUM(c) AS n_grams,
+                   SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup
+            FROM gc GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           COALESCE(per.n_dup::DOUBLE / per.n_grams, 0.0) AS dup_ngram_frac
+    FROM d LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def q_oov_ratio(sf_dir: str) -> pd.DataFrame:
+    """Rare-word (out-of-vocabulary) quality scoring: build the corpus
+    document-frequency vocabulary as a Ray aggregate (vocab rows shuffle,
+    text never does), broadcast the common-word head via ``ray.put``, score
+    every doc in an actor pool (stages/text_analysis.OOVStage — the A4
+    broadcast-snapshot pattern). The frequency-based quality signal of a
+    training-data pipeline, oracle-exact because the df threshold is integer
+    arithmetic and the ratio is one IEEE division."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+    common = ta.common_vocabulary(ds, n_docs)
+    ref = _ray.put(common)
+    out = ds.map_batches(
+        ta.OOVStage,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=2,
+        batch_size=4096,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_oov_ratio"] = q_oov_ratio
+ORACLE_SQL["q_oov_ratio"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+    vocab AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    common AS (SELECT word FROM vocab, nd WHERE df * 1000 >= n * 100),
+    per AS (SELECT tok.doc_id AS doc_id, COUNT(*) AS n_words,
+                   SUM(CASE WHEN c.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tok LEFT JOIN common c ON tok.word = c.word
+            GROUP BY tok.doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+           COALESCE(per.n_oov::DOUBLE / per.n_words, 0.0) AS oov_ratio
+    FROM d LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def q_cms_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min point-frequency certificate over events.user_id: per-batch
+    partial sketches merged on the driver (KBs each), estimates certified
+    against the exact distributed groupby counts. The oracle pins both CMS
+    guarantees TRUE per key — est >= exact (structural) and
+    est - exact <= ceil(e/w * N) (the published one-sided bound) — so a
+    regressed sketch is a hash MISMATCH, not silent drift
+    (functions/sketches.CountMinSketch; the q_hll_accuracy pattern)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+
+    def sketch(tbl: pa.Table) -> pa.Table:
+        c = CountMinSketch(d=4, w=4096)
+        c.update_ints(tbl["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([c.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()["blob"]
+    merged = CountMinSketch(d=4, w=4096)
+    for b in blobs:
+        merged.merge(CountMinSketch.from_bytes(b))
+    exact = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n_exact"))
+        .to_pandas()
+        .astype({"user_id": "int64", "n_exact": "int64"})
+    )
+    est = merged.estimate_ints(exact["user_id"].to_numpy(np.int64))
+    bound = merged.error_bound()
+    exact["est_ge_exact"] = (est >= exact["n_exact"].to_numpy()).astype(np.int64)
+    exact["est_within_bound"] = (
+        est - exact["n_exact"].to_numpy() <= bound
+    ).astype(np.int64)
+    return exact.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["q_cms_user_counts"] = q_cms_user_counts
+ORACLE_SQL["q_cms_user_counts"] = """
+    SELECT user_id, COUNT(*) AS n_exact,
+           CAST(1 AS BIGINT) AS est_ge_exact,
+           CAST(1 AS BIGINT) AS est_within_bound
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,122 @@ def repetition_stats(tbl: pa.Table, text_col: str = "text", id_col: str = "doc_i
             "keep": keep,
         }
     )
+
+
+def dup_ngram_stats(
+    tbl: pa.Table, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher's duplicate-n-gram gate, generic in ``n``: per doc, the fraction
+    of n-gram occurrences whose gram appears >= 2 times WITHIN the doc
+    (Rae et al. 2021 count-based form; the top-bigram gate in
+    :func:`repetition_stats` is the max-based sibling). One explode + one
+    lexsort — the same run-length machinery, no per-row Python.
+
+    ``dup_ngram_frac`` is a single IEEE division of two exact integers, so
+    the SQL oracle (queries.q_dup_ngram_frac) matches bit-exactly."""
+    texts = tbl[text_col].to_numpy(zero_copy_only=False)
+    nd = len(texts)
+    rows, wh = explode_tokens(texts, sep=" ")
+    grows, ghash = chain_gram_hashes(rows, wh, n)
+    n_grams = np.bincount(grows, minlength=nd).astype(np.int64)
+    n_dup = np.zeros(nd, np.int64)
+    if len(grows):
+        order = np.lexsort((ghash, grows))
+        gr, gh = grows[order], ghash[order]
+        starts = np.flatnonzero(np.r_[True, (gr[1:] != gr[:-1]) | (gh[1:] != gh[:-1])])
+        runlen = np.diff(np.r_[starts, len(gr)])
+        dup_runs = runlen >= 2
+        np.add.at(n_dup, gr[starts[dup_runs]], runlen[dup_runs])
+    pos = n_grams > 0
+    frac = np.zeros(nd, np.float64)
+    frac[pos] = n_dup[pos] / n_grams[pos]
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "n_grams": n_grams,
+            "n_dup_grams": n_dup,
+            "dup_ngram_frac": frac,
+        }
+    )
+
+
+#: common word = appears in >= this many permille of all documents (integer
+#: threshold ``df * 1000 >= n_docs * permille`` — exact in numpy and SQL)
+OOV_MIN_DF_PERMILLE = 100
+
+
+def vocab_doc_freq(ds, text_col: str = "text"):
+    """Corpus document-frequency table as a Ray aggregate: every batch emits
+    its DISTINCT (word -> partial df) counts — each document lives in exactly
+    one batch, so within-batch distinct (doc, word) pairs are globally
+    distinct and a vocabulary-sized ``groupby(word).sum`` finishes the count.
+    The shuffle moves vocabulary rows only; corpus text never leaves its
+    block. Returns the vocab as pandas (bounded: a df-thresholded vocabulary
+    is heavy-tail-cut small even at corpus scale)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = pd.Series(np.asarray(tbl[text_col].to_numpy(zero_copy_only=False), dtype=object))
+        ex = s.str.split(" ").explode().dropna()
+        if not len(ex):
+            return pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "word": ex.to_numpy(object)})
+        dfc = pairs.drop_duplicates().groupby("word", sort=False).size()
+        return pa.table({"word": pa.array(dfc.index, pa.string()), "df": pa.array(dfc.to_numpy(np.int64))})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    return out
+
+
+def common_vocabulary(ds, n_docs: int, text_col: str = "text", min_df_permille: int = OOV_MIN_DF_PERMILLE) -> frozenset:
+    """Words whose document frequency is >= ``min_df_permille``/1000 of the
+    corpus — the broadcast side of OOV scoring. At 100 TB this set is the
+    heavy tail cut of the vocabulary (bounded above by 1000/min_df_permille
+    distinct words per doc x nothing — df-threshold caps it at vocabulary
+    head size), shipped once via ``ray.put``."""
+    voc = vocab_doc_freq(ds, text_col=text_col)
+    keep = voc["df"].to_numpy(np.int64) * 1000 >= np.int64(n_docs) * np.int64(min_df_permille)
+    return frozenset(voc["word"].to_numpy(object)[keep])
+
+
+class OOVStage:
+    """Per-doc out-of-vocabulary scoring against a broadcast common-word set:
+    the A4 broadcast pattern (``ray.put`` once on the driver, ``ray.get`` in
+    ``__init__`` once per actor; reference services/similarity_service.py's
+    published-set snapshot shape). Rare-word ratio is the classic
+    frequency-based quality signal a training-data pipeline gates on."""
+
+    def __init__(self, common_ref):
+        import ray
+
+        self.common = (
+            common_ref
+            if isinstance(common_ref, (set, frozenset))
+            else ray.get(common_ref)
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        s = batch["text"].str.split(" ")
+        ex = s.explode().dropna()
+        n = len(batch)
+        n_words = np.zeros(n, np.int64)
+        n_oov = np.zeros(n, np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy(np.int64)
+            np.add.at(n_words, rows, 1)
+            oov = ~ex.isin(self.common).to_numpy()
+            np.add.at(n_oov, rows[oov], 1)
+        pos = n_words > 0
+        ratio = np.zeros(n, np.float64)
+        ratio[pos] = n_oov[pos] / n_words[pos]
+        out = batch[["doc_id"]].copy()
+        out["n_words"] = n_words
+        out["n_oov"] = n_oov
+        out["oov_ratio"] = ratio
+        return out

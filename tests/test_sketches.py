@@ -208,3 +208,56 @@ def test_er_kll_wired_through_partition_stats():
     legacy = {k: v for k, v in s1.items() if k != "er_kll"}
     m2 = merge_stats(legacy, s2)
     assert m2["er_kll"].n == s2["er_kll"].n
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds():
+    from teleharvest_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish skew: heavy keys + a long tail, forced collisions via small w
+    vals = rng.zipf(1.5, size=20000) % 5000
+    c = CountMinSketch(d=4, w=256)
+    c.update_ints(vals)
+    keys, exact = np.unique(vals, return_counts=True)
+    est = c.estimate_ints(keys)
+    assert (est >= exact).all()  # structural one-sided guarantee
+    assert c.total() == len(vals)
+    # the eps*N bound holds for the overwhelming majority of keys (per-key
+    # failure prob e^-d ~= 1.8%); assert the aggregate, not each key
+    within = (est - exact) <= c.error_bound()
+    assert within.mean() > 0.95
+
+
+def test_cms_merge_equals_single_build_and_roundtrip():
+    from teleharvest_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, size=5000)
+    whole = CountMinSketch(d=4, w=512)
+    whole.update_ints(vals)
+    merged = CountMinSketch(d=4, w=512)
+    for chunk in np.array_split(vals, 9):
+        part = CountMinSketch(d=4, w=512)
+        part.update_ints(chunk)
+        merged.merge(part)
+    assert (whole.table == merged.table).all()
+    rt = CountMinSketch.from_bytes(merged.to_bytes())
+    assert (rt.table == merged.table).all() and (rt.d, rt.w) == (4, 512)
+    with pytest.raises(ValueError):
+        merged.merge(CountMinSketch(d=4, w=256))
+
+
+def test_cms_weighted_update():
+    from teleharvest_ray.functions.sketches import CountMinSketch
+    from teleharvest_ray.functions.hashing import splitmix64
+
+    c = CountMinSketch(d=4, w=512)
+    h = splitmix64(np.arange(10, dtype=np.uint64))
+    c.update_hashes(h, weights=np.full(10, 3, dtype=np.int64))
+    assert (c.estimate_hashes(h) >= 3).all()
+    assert c.total() == 30
