@@ -4843,6 +4843,52 @@ ORACLE_SQL["q_cms_user_counts"] = """
     FROM events GROUP BY user_id ORDER BY user_id
 """
 
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Graph centrality as a corpus quality prior (the host-graph PageRank
+    practice of web-corpus curation, e.g. Common Crawl ranking): PageRank
+    over the near-dup gram-edge graph (same candidate edges as
+    q_dedup_clusters), integer-quantized to ppm so the 3-iteration update
+    ``r' = 150000 + (850 * sum(r // deg)) // 1000`` is replayed bit-exactly
+    by chained SQL CTEs — the k-means quantize-to-certify trick on a graph
+    (stages/cluster.pagerank: local kernel below _LOCAL_PR_EDGES, join +
+    carrier-union aggregate rounds above it)."""
+    from ..stages import cluster as cl
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(docs, "text", "doc_id", n=4)
+    ranks = cl.pagerank(edges, nodes=docs.select_columns(["doc_id"]), iters=3)
+    out = ranks.to_pandas().rename(columns={"node": "doc_id"}).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_pagerank"] = q_pagerank
+ORACLE_SQL["q_pagerank"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+    deg AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY u),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+    s1 AS (SELECT e.v AS node, SUM(r0.r // deg.dg) AS s
+           FROM e JOIN r0 ON e.u = r0.node JOIN deg ON e.u = deg.u GROUP BY e.v),
+    r1 AS (SELECT dd.doc_id AS node,
+                  CAST(150000 + (850 * COALESCE(s1.s, 0)) // 1000 AS BIGINT) AS r
+           FROM documents dd LEFT JOIN s1 ON s1.node = dd.doc_id),
+    s2 AS (SELECT e.v AS node, SUM(r1.r // deg.dg) AS s
+           FROM e JOIN r1 ON e.u = r1.node JOIN deg ON e.u = deg.u GROUP BY e.v),
+    r2 AS (SELECT dd.doc_id AS node,
+                  CAST(150000 + (850 * COALESCE(s2.s, 0)) // 1000 AS BIGINT) AS r
+           FROM documents dd LEFT JOIN s2 ON s2.node = dd.doc_id),
+    s3 AS (SELECT e.v AS node, SUM(r2.r // deg.dg) AS s
+           FROM e JOIN r2 ON e.u = r2.node JOIN deg ON e.u = deg.u GROUP BY e.v),
+    r3 AS (SELECT dd.doc_id AS node,
+                  CAST(150000 + (850 * COALESCE(s3.s, 0)) // 1000 AS BIGINT) AS r
+           FROM documents dd LEFT JOIN s3 ON s3.node = dd.doc_id)
+    SELECT node AS doc_id, r AS rank_ppm FROM r3 ORDER BY doc_id
+"""
+
 QUERIES["q_ppm_decode"] = q_ppm_decode
 ORACLE_SQL["q_ppm_decode"] = """
     WITH px AS (

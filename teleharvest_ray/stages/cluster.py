@@ -454,3 +454,203 @@ def kmeans_quantized(
         return pd.DataFrame({id_col: ids, "cluster": c_ids[a]})
 
     return ds.map_batches(asg, batch_format="pyarrow", batch_size=None), cids, cents
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality — the graph quality prior of web-corpus curation
+# ---------------------------------------------------------------------------
+
+#: integer-quantized PageRank constants: ranks live in ppm (parts-per-million)
+#: int64, damping d = PR_DAMPING_PPT/1000, teleport term (1-d) = PR_BASE_PPM.
+#: Every update is integer arithmetic (``//`` floor division), so a SQL oracle
+#: replays the iteration bit-exactly (queries.q_pagerank) — the same
+#: quantize-to-certify trick as the k-means pipeline below.
+PR_INIT_PPM = 1_000_000
+PR_BASE_PPM = 150_000
+PR_DAMPING_PPT = 850
+
+#: edge-count threshold below which PageRank runs driver-local (candidate
+#: edge sets are anomaly-sized, same argument as _LOCAL_CC_EDGES); the
+#: distributed path is equivalence-tested by forcing this to 0.
+_LOCAL_PR_EDGES = 5_000_000
+
+
+def pagerank_local(
+    u: np.ndarray, v: np.ndarray, iters: int = 3
+) -> pd.DataFrame:
+    """Integer-quantized PageRank over undirected int64 edge arrays
+    (symmetrized to distinct directed pairs): per iteration, every node
+    sends ``r // deg`` down each incident edge and receives
+    ``PR_BASE_PPM + (PR_DAMPING_PPT * sum) // 1000``. Fully vectorized —
+    the per-iteration gather is one pandas int64 groupby-sum (exact, no
+    float accumulation). Returns (node, rank_ppm) for edge-touched nodes;
+    isolated nodes are the constant ``PR_BASE_PPM`` after any iteration and
+    are attached by the caller without touching the driver."""
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    all_nodes = np.unique(np.concatenate([u, v]))
+    if not len(all_nodes):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "rank_ppm": pd.Series(dtype="int64")}
+        )
+    a = np.searchsorted(all_nodes, u)
+    b = np.searchsorted(all_nodes, v)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    key = lo[keep].astype(np.int64) * len(all_nodes) + hi[keep]
+    uniq = np.unique(key)
+    lo2, hi2 = uniq // len(all_nodes), uniq % len(all_nodes)
+    src = np.concatenate([lo2, hi2])
+    dst = np.concatenate([hi2, lo2])
+    n = len(all_nodes)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    r = np.full(n, PR_INIT_PPM, dtype=np.int64)
+    for _ in range(iters):
+        contrib = r // np.maximum(deg, 1)  # deg==0 nodes never appear as src
+        sent = pd.Series(contrib[src]).groupby(pd.Series(dst), sort=False).sum()
+        s = np.zeros(n, dtype=np.int64)
+        s[sent.index.to_numpy()] = sent.to_numpy()
+        r = PR_BASE_PPM + (np.int64(PR_DAMPING_PPT) * s) // 1000
+    return pd.DataFrame({"node": all_nodes, "rank_ppm": r})
+
+
+def pagerank(
+    edges: pd.DataFrame | Dataset,
+    nodes: Dataset | None = None,
+    u: str = "id_a",
+    v: str = "id_b",
+    iters: int = 3,
+    edge_threshold: int = _LOCAL_PR_EDGES,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Size-dispatched PageRank; returns a Dataset ``(node, rank_ppm)`` with
+    one row per node (isolated nodes at the constant ``PR_BASE_PPM``).
+
+    Distributed path (above ``edge_threshold`` edges): state is a node-sized
+    Dataset ``(node, r, deg)``; each iteration is ONE bucketed hash join
+    (edges x per-node contributions, edge-bounded) plus ONE
+    groupby-aggregate where contribution rows ``(v, c, deg=0)`` union the
+    state carrier rows ``(node, c=0, deg)`` so ``Sum(c)`` gathers inbound
+    mass and ``Max(deg)`` re-attaches the static degree without a second
+    join. Nothing corpus-sized reaches the driver. int64 overflow headroom:
+    sum of inbound contributions is bounded by in-degree x 1e6 < 2^63 for
+    in-degrees up to ~9e12."""
+    edges_df: pd.DataFrame | None
+    if isinstance(edges, Dataset):
+        n_edges = edges.count()
+        edges_df = edges.to_pandas() if n_edges < edge_threshold else None
+        edges_ds = edges
+    else:
+        n_edges = len(edges)
+        edges_df = edges if n_edges < edge_threshold else None
+        edges_ds = None
+
+    if edges_df is not None:
+        ranks = rd.from_pandas(pagerank_local(edges_df[u].to_numpy(), edges_df[v].to_numpy(), iters))
+    else:
+        if edges_ds is None:
+            edges_ds = rd.from_pandas(edges)
+        ranks = _pagerank_rounds(edges_ds, u, v, iters, n_buckets)
+    if nodes is not None:
+        first = nodes.schema().names[0]
+        node_ds = nodes.map_batches(
+            lambda b, c=first: pd.DataFrame({"node": b[c]}), batch_format="pandas"
+        )
+        singles = jn.anti_join(node_ds, ranks.select_columns(["node"]), on="node")
+        ranks = ranks.union(
+            singles.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"], "rank_ppm": np.int64(PR_BASE_PPM)}
+                ),
+                batch_format="pandas",
+            )
+        )
+    return ranks
+
+
+def _pagerank_rounds(
+    edges: Dataset, u: str, v: str, iters: int, n_buckets: int | None
+) -> Dataset:
+    """Distributed iteration core (see :func:`pagerank`). Symmetrizes the
+    edge set to distinct directed pairs with one groupby shuffle, builds the
+    degree table with another, then runs ``iters`` join+aggregate rounds."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        a_ = b[u].to_numpy(np.int64)
+        b_ = b[v].to_numpy(np.int64)
+        keep = a_ != b_
+        a_, b_ = a_[keep], b_[keep]
+        return pd.DataFrame(
+            {"src": np.concatenate([a_, b_]), "dst": np.concatenate([b_, a_])}
+        )
+
+    dir_edges = (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .materialize()
+    )
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, dir_edges.count() // 250_000 + 1)))
+    deg = dir_edges.groupby("src").aggregate(Count(alias_name="deg"))
+    state = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["src"].astype("int64"),
+                "r": np.int64(PR_INIT_PPM),
+                "deg": b["deg"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    for _ in range(iters):
+        contrib = state.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "src": b["node"],
+                    "c": b["r"].to_numpy(np.int64)
+                    // np.maximum(b["deg"].to_numpy(np.int64), 1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        sent = jn.bucketed_hash_join(
+            dir_edges, contrib, on="src", n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["dst"].astype("int64"),
+                    "c": b["c"].astype("int64"),
+                    "deg": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+        )
+        carrier = state.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "c": np.int64(0), "deg": b["deg"]}
+            ),
+            batch_format="pandas",
+        )
+        gathered = (
+            sent.union(carrier)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"), Max("deg", alias_name="deg"))
+        )
+        state = gathered.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "r": np.int64(PR_BASE_PPM)
+                    + (np.int64(PR_DAMPING_PPT) * b["s"].to_numpy(np.int64)) // 1000,
+                    "deg": b["deg"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+    return state.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "rank_ppm": b["r"]}),
+        batch_format="pandas",
+    )

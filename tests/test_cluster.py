@@ -207,3 +207,50 @@ def test_kmeans_handles_more_k_than_natural_clusters(ray_session):
     assert len(out) == 80
     assert set(out.cluster).issubset(set(cids.tolist()))
     assert len(set(out.cluster)) <= 5
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_local_hand_example():
+    import numpy as np
+    from teleharvest_ray.stages import cluster as cl
+
+    # path graph 1-2-3: deg = (1, 2, 1)
+    out = cl.pagerank_local(np.array([1, 2]), np.array([2, 3]), iters=1)
+    # r0 = 1e6 each; contribs: 1->2: 1e6, 2->1: 5e5, 2->3: 5e5, 3->2: 1e6
+    # r1 = 150000 + 850*s//1000 -> ends: 575000, middle: 1850000
+    assert out.set_index("node")["rank_ppm"].to_dict() == {
+        1: 575000, 2: 1850000, 3: 575000
+    }
+
+
+def test_pagerank_distributed_equals_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(17)
+    n_nodes = 400
+    edges = pd.DataFrame(
+        {
+            "id_a": rng.integers(0, n_nodes, 1500).astype(np.int64),
+            "id_b": rng.integers(0, n_nodes, 1500).astype(np.int64),
+        }
+    )
+    nodes = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n_nodes + 50, dtype=np.int64)}))
+    loc = (
+        cl.pagerank(edges, nodes=nodes, iters=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        cl.pagerank(edges, nodes=nodes, iters=3, edge_threshold=0, n_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.astype("int64").equals(dist.astype("int64"))
+    # isolated nodes sit at the teleport floor
+    iso = loc[loc.node >= n_nodes]
+    assert (iso.rank_ppm == cl.PR_BASE_PPM).all() and len(iso) == 50
