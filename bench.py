@@ -119,6 +119,8 @@ def main() -> None:
     run("q_funnel_stages", q.q_funnel_stages)
     run("q_validate_violations", q.q_validate_violations)
     run("q_sessionize", q.q_sessionize)
+    run("q_oov_ratio", q.q_oov_ratio)
+    run("q_pagerank", q.q_pagerank)
 
     headline = timings["validate_transcripts"]
     out = {
