@@ -4861,6 +4861,42 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured ingest: extract the integer ``k`` field from the JSON
+    ``props`` column with one vectorized RE2 pass
+    (stages/text_analysis.json_int_field), then grouped integer stats per
+    event type — the flatten-then-aggregate shape of every props/payload
+    pipeline. All-integer outputs, so the DuckDB ``json_extract_string``
+    oracle matches exactly."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+    flat = ds.map_batches(
+        lambda t: ta.json_int_field(t, "props", "k", "k").drop_columns(["props"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = (
+        flat.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+        .to_pandas()
+        .astype({"n": "int64", "sum_k": "int64", "min_k": "int64", "max_k": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["q_props_stats"] = q_props_stats
+ORACLE_SQL["q_props_stats"] = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES["q_pagerank"] = q_pagerank
 ORACLE_SQL["q_pagerank"] = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

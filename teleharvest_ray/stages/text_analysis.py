@@ -357,3 +357,14 @@ class OOVStage:
         out["n_oov"] = n_oov
         out["oov_ratio"] = ratio
         return out
+
+
+def json_int_field(tbl: pa.Table, col: str, key: str, out_col: str) -> pa.Table:
+    """Vectorized semi-structured extraction: pull integer field ``key`` out
+    of a JSON-string column with ONE RE2 kernel pass (``pc.extract_regex``)
+    — the flatten step of a props/payload ingest, zero-copy in, no per-row
+    parser. Rows without the key (or null) yield null."""
+    pat = r'"' + key + r'"\s*:\s*(?P<v>-?\d+)'
+    ext = pc.extract_regex(tbl[col], pattern=pat)
+    vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+    return tbl.append_column(out_col, vals)
