@@ -452,7 +452,10 @@ def keyspace_from_states(
                 )
                 dup_convs = np.unique(dups["conv_id"].to_numpy(object))
         if len(gap_convs):
-            sub = small[np.isin(small["conv_id"].to_numpy(object), gap_convs)]
+            # pandas isin (hash table, C speed): np.isin on OBJECT arrays
+            # falls back to python-compare sorting — measured 9.7 s of the
+            # 12 s phase-2 wall at sf0.1 on this single line
+            sub = small[small["conv_id"].isin(gap_convs)]
             out_frames.append(_exact_gaps(sub))
         # a duplicated key spanning batches inflates the summed n_distinct and
         # can mask a REAL gap in the same conversation (nd_sum == max+1 by
