@@ -4804,10 +4804,13 @@ ORACLE_SQL["q_oov_ratio"] = """
 def q_cms_user_counts(sf_dir: str) -> pd.DataFrame:
     """Count-Min point-frequency certificate over events.user_id: per-batch
     partial sketches merged on the driver (KBs each), estimates certified
-    against the exact distributed groupby counts. The oracle pins both CMS
-    guarantees TRUE per key — est >= exact (structural) and
-    est - exact <= ceil(e/w * N) (the published one-sided bound) — so a
-    regressed sketch is a hash MISMATCH, not silent drift
+    against the exact distributed groupby counts. Two pinned certificates:
+    per key, est >= exact (STRUCTURAL — the min cell holds the key's whole
+    count plus collisions); globally, >= 95% of keys inside the published
+    eps*N = ceil(e/w * N) overcount bound. The bound is probabilistic
+    (per-key failure prob <= e^-d ~ 1.8% at d=4), so pinning it per key
+    would turn correct sketch behavior into a driver mismatch at some
+    unseen scale; the 95% share is the sound certificate form
     (functions/sketches.CountMinSketch; the q_hll_accuracy pattern)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
 
@@ -4829,9 +4832,9 @@ def q_cms_user_counts(sf_dir: str) -> pd.DataFrame:
     est = merged.estimate_ints(exact["user_id"].to_numpy(np.int64))
     bound = merged.error_bound()
     exact["est_ge_exact"] = (est >= exact["n_exact"].to_numpy()).astype(np.int64)
-    exact["est_within_bound"] = (
-        est - exact["n_exact"].to_numpy() <= bound
-    ).astype(np.int64)
+    within = est - exact["n_exact"].to_numpy() <= bound
+    share_ok = int(int(within.sum()) * 20 >= len(within) * 19)  # >= 95%
+    exact["share_within_bound_ok"] = np.int64(share_ok)
     return exact.sort_values("user_id").reset_index(drop=True)
 
 
@@ -4839,7 +4842,7 @@ QUERIES["q_cms_user_counts"] = q_cms_user_counts
 ORACLE_SQL["q_cms_user_counts"] = """
     SELECT user_id, COUNT(*) AS n_exact,
            CAST(1 AS BIGINT) AS est_ge_exact,
-           CAST(1 AS BIGINT) AS est_within_bound
+           CAST(1 AS BIGINT) AS share_within_bound_ok
     FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -4855,7 +4858,12 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     from ..stages import cluster as cl
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(docs, "text", "doc_id", n=4)
+    # cap=2**31: the oracle's gram self-join is UNCAPPED, and PageRank (unlike
+    # the CC dedup queries) is sensitive to every dropped edge, so the default
+    # per-gram pair cap would be a silent oracle divergence once any gram is
+    # shared by >cap docs. Production at corpus scale would keep the cap (a
+    # capped candidate graph) and forgo exact SQL parity.
+    edges = dd.gram_edges(docs, "text", "doc_id", n=4, cap=2**31)
     ranks = cl.pagerank(edges, nodes=docs.select_columns(["doc_id"]), iters=3)
     out = ranks.to_pandas().rename(columns={"node": "doc_id"}).astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -4866,8 +4874,10 @@ def q_props_stats(sf_dir: str) -> pd.DataFrame:
     ``props`` column with one vectorized RE2 pass
     (stages/text_analysis.json_int_field), then grouped integer stats per
     event type — the flatten-then-aggregate shape of every props/payload
-    pipeline. All-integer outputs, so the DuckDB ``json_extract_string``
-    oracle matches exactly."""
+    pipeline. The oracle uses the SAME RE2 pattern via DuckDB
+    ``regexp_extract`` (not ``json_extract``), so both sides share one
+    extraction contract by construction — flat-object semantics, first
+    match wins (see the kernel docstring)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
     flat = ds.map_batches(
         lambda t: ta.json_int_field(t, "props", "k", "k").drop_columns(["props"]),
@@ -4890,11 +4900,14 @@ def q_props_stats(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["q_props_stats"] = q_props_stats
 ORACLE_SQL["q_props_stats"] = """
+    WITH x AS (
+        SELECT event_type,
+               CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k
+        FROM events)
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events GROUP BY event_type ORDER BY event_type
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM x GROUP BY event_type ORDER BY event_type
 """
 
 QUERIES["q_pagerank"] = q_pagerank

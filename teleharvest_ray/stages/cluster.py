@@ -488,6 +488,12 @@ def pagerank_local(
     are attached by the caller without touching the driver."""
     u = np.asarray(u, dtype=np.int64)
     v = np.asarray(v, dtype=np.int64)
+    # drop self-loops BEFORE collecting the node set so a node whose only
+    # edges are self-loops is absent here exactly as it is on the
+    # distributed path (sym() filters them pre-state) — the threshold-0
+    # equivalence contract depends on the two paths agreeing row-for-row
+    loops = u != v
+    u, v = u[loops], v[loops]
     all_nodes = np.unique(np.concatenate([u, v]))
     if not len(all_nodes):
         return pd.DataFrame(
@@ -496,8 +502,7 @@ def pagerank_local(
     a = np.searchsorted(all_nodes, u)
     b = np.searchsorted(all_nodes, v)
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    keep = lo != hi
-    key = lo[keep].astype(np.int64) * len(all_nodes) + hi[keep]
+    key = lo.astype(np.int64) * len(all_nodes) + hi
     uniq = np.unique(key)
     lo2, hi2 = uniq // len(all_nodes), uniq % len(all_nodes)
     src = np.concatenate([lo2, hi2])

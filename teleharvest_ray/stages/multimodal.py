@@ -54,7 +54,13 @@ def decode_netpbm(raw: bytes) -> np.ndarray:
         if start == pos:
             raise ValueError("truncated netpbm header")
         vals.append(int(raw[start:pos]))
-    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    # Exactly ONE whitespace byte separates maxval from the raster — that is
+    # the Netpbm spec's rule, and it is deliberate here: raster bytes may
+    # themselves be whitespace-valued (0x09-0x0D, 0x20), so greedily skipping
+    # "whitespace" would silently eat the first pixels of a conformant image.
+    # Nonconformant writers that emit \r\n after maxval therefore decode
+    # shifted; strictness is the safe side of that trade.
+    pos += 1
     w, h, maxval = vals
     if not (0 < maxval < 256):
         raise ValueError("only 8-bit netpbm supported")

@@ -360,11 +360,21 @@ class OOVStage:
 
 
 def json_int_field(tbl: pa.Table, col: str, key: str, out_col: str) -> pa.Table:
-    """Vectorized semi-structured extraction: pull integer field ``key`` out
-    of a JSON-string column with ONE RE2 kernel pass (``pc.extract_regex``)
-    — the flatten step of a props/payload ingest, zero-copy in, no per-row
-    parser. Rows without the key (or null) yield null."""
-    pat = r'"' + key + r'"\s*:\s*(?P<v>-?\d+)'
+    """Vectorized FLAT-JSON integer field extraction: one RE2 kernel pass
+    (``pc.extract_regex``) over a JSON-string column — the flatten step of a
+    props/payload ingest, zero-copy in, no per-row parser. Rows without the
+    key (or null) yield null.
+
+    Semantics are REGEX, not a JSON parse: the first ``"key": <int>``
+    occurrence anywhere in the string wins, nested objects are not
+    distinguished from top level, and a float value yields its integer
+    prefix. That is exactly the contract the q_props_stats oracle encodes
+    (DuckDB ``regexp_extract`` with the same RE2 pattern), so the two sides
+    agree BY CONSTRUCTION on any input; payloads needing real traversal
+    belong in a parser stage, not this kernel."""
+    import re as _re
+
+    pat = r'"' + _re.escape(key) + r'"\s*:\s*(?P<v>-?\d+)'
     ext = pc.extract_regex(tbl[col], pattern=pat)
     vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
     return tbl.append_column(out_col, vals)

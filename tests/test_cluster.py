@@ -237,8 +237,11 @@ def test_pagerank_distributed_equals_local(ray_session):
     n_nodes = 400
     edges = pd.DataFrame(
         {
-            "id_a": rng.integers(0, n_nodes, 1500).astype(np.int64),
-            "id_b": rng.integers(0, n_nodes, 1500).astype(np.int64),
+            # node 399 gets ONLY a self-loop: both paths must drop it from the
+            # edge-derived rank set identically (it re-enters via nodes= at
+            # the teleport floor)
+            "id_a": np.r_[rng.integers(0, n_nodes - 1, 1500), 399].astype(np.int64),
+            "id_b": np.r_[rng.integers(0, n_nodes - 1, 1500), 399].astype(np.int64),
         }
     )
     nodes = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n_nodes + 50, dtype=np.int64)}))
