@@ -4910,6 +4910,97 @@ ORACLE_SQL["q_props_stats"] = """
     FROM x GROUP BY event_type ORDER BY event_type
 """
 
+#: fixed day-index shift for q_trend_by_type: epoch-day minus this constant
+#: keeps x small (data window is days 19723-19752), so every OLS moment —
+#: up to n * sum(x^2) — stays far inside int64 even at corpus scale
+_TREND_DAY_SHIFT = 19700
+
+
+def q_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares trend via EXACT integer moments: per event type,
+    the OLS slope of the props ``k`` field over the event's day index,
+    reported as the exact rational (slope_num, slope_den) =
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2) — no float accumulation anywhere, so the
+    SQL oracle matches hash-exactly (the X46 grouped-correlation pattern
+    extended to regression). Distributed shape: per-batch moment partials
+    (one pandas groupby per batch), a group-count-sized Sum shuffle, final
+    arithmetic on the reduced frame. Composes the json_int_field kernel for
+    ``y``. Day index is shifted by a fixed constant so the largest moment,
+    n*Sxx, stays inside int64 with ~1e9 headroom at corpus scale."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "props"])
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        tbl = ta.json_int_field(tbl, "props", "k", "y")
+        df = pd.DataFrame(
+            {
+                "event_type": tbl["event_type"].to_pandas(),
+                "x": (
+                    tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000
+                )
+                - _TREND_DAY_SHIFT,
+                "y": tbl["y"].to_pandas(),
+            }
+        )
+        df = df[df["y"].notna()]
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(object),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("event_type", sort=False, as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": n,
+            "slope_num": n * agg["sxy"].to_numpy(np.int64) - sx * sy,
+            "slope_den": n * agg["sxx"].to_numpy(np.int64) - sx * sx,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True).astype(
+        {"n": "int64", "slope_num": "int64", "slope_den": "int64"}
+    )
+
+
+QUERIES["q_trend_by_type"] = q_trend_by_type
+ORACLE_SQL["q_trend_by_type"] = """
+    WITH pts AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) - 19700 AS x,
+               CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS y
+        FROM events),
+    agg AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM pts WHERE y IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM agg ORDER BY event_type
+"""
+
 QUERIES["q_pagerank"] = q_pagerank
 ORACLE_SQL["q_pagerank"] = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
