@@ -5047,6 +5047,277 @@ ORACLE_SQL["q_ppm_decode"] = """
 """
 
 
+def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
+    """X67: blocked edit-distance near-duplicates. Candidates = doc pairs
+    sharing a word 4-gram (dedup.gram_edges — one shuffle; the pair set
+    equals the SQL gram self-join exactly); verification = EXACT
+    byte-Levenshtein over the first 64 characters via Myers' bit-parallel
+    kernel (documents are ASCII, so char prefix == byte prefix and the
+    kernel is bit-identical to DuckDB's byte-based ``levenshtein``; fuzz
+    test covers both engines). Pairs with prefix distance <= 16 — the
+    planted near-dups — survive; random gram collisions sit >32. Per-pair
+    work is CANDIDATE-sized (~64 word ops each), same contract as
+    dedup.verify_pairs_jaccard."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "d64": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(pairs):
+        return empty
+    ids = np.unique(np.r_[pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
+    texts = dd.gather_texts(ds, "doc_id", "text", ids)
+    prefix = {i: (t or "")[:64] for i, t in zip(texts["doc_id"], texts["text"])}
+    d = np.fromiter(
+        (dd.myers_distance(prefix[a], prefix[b]) for a, b in zip(pairs["id_a"], pairs["id_b"])),
+        dtype=np.int64,
+        count=len(pairs),
+    )
+    out = pd.DataFrame(
+        {
+            "id_a": pairs["id_a"].to_numpy(np.int64),
+            "id_b": pairs["id_b"].to_numpy(np.int64),
+            "d64": d,
+        }
+    )
+    out = out[out["d64"] <= 16]
+    if not len(out):
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+QUERIES["q_edit_distance_pairs"] = q_edit_distance_pairs
+ORACLE_SQL["q_edit_distance_pairs"] = """
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    dist AS (SELECT id_a, id_b,
+                    CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT) AS d64
+             FROM e
+             JOIN documents da ON da.doc_id = e.id_a
+             JOIN documents db ON db.doc_id = e.id_b)
+    SELECT id_a, id_b, d64 FROM dist WHERE d64 <= 16 ORDER BY id_a, id_b
+"""
+
+
+def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
+    """X68: exact per-node triangle counts on the near-duplicate candidate
+    graph (shared-4-gram edges — the q_pagerank edge set). Wedge-close as
+    two vectorized hash merges over the oriented edge list
+    (cluster.triangle_counts); each triangle a<b<c is produced once, so the
+    SQL three-way self-join reproduces it row-for-row."""
+    from ..stages import cluster as cl
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    out = cl.triangle_counts(edges).rename(columns={"node": "doc_id"})
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_triangles": "int64"})
+    )
+
+
+QUERIES["q_triangle_counts"] = q_triangle_counts
+ORACLE_SQL["q_triangle_counts"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+            FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+                      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+    nodes AS (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+    SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_role_alternation(sf_dir: str) -> pd.DataFrame:
+    """X69: transcript role-alternation constraint — a validation-engine
+    check in the north-star family (consecutive same-role turns within a
+    conversation are violations; reference per-message ordered evaluation,
+    processor.py:97-145). conv/turn/role derive from doc_id by pure modular
+    arithmetic (the derived-transcript trick) with a planted same-role
+    mutation at doc_id % 53 == 0; ONE hash-bucket shuffle + segmented LAG
+    flags the violations — no per-conversation Python."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = did % 10
+        role = np.where(did % 53 == 0, 1, turn % 2).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "conv": pa.array(did // 10),
+                "turn_idx": pa.array(turn),
+                "role_code": pa.array(role),
+            }
+        )
+
+    out = wd.window_over(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key="conv",
+        order=["turn_idx"],
+        specs=[("lag", "role_code", "prev_role")],
+    ).to_pandas()
+    out = out[out["prev_role"] == out["role_code"]]
+    out = out[["doc_id", "conv", "turn_idx", "role_code"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_role_alternation"] = q_role_alternation
+ORACLE_SQL["q_role_alternation"] = """
+    WITH r AS (SELECT doc_id, doc_id // 10 AS conv,
+                      CAST(doc_id % 10 AS BIGINT) AS turn_idx,
+                      CASE WHEN doc_id % 53 = 0 THEN 1 ELSE (doc_id % 10) % 2 END AS role_code
+               FROM documents),
+    w AS (SELECT *, LAG(role_code) OVER (PARTITION BY conv ORDER BY turn_idx) AS prev_role
+          FROM r)
+    SELECT doc_id, conv, turn_idx, CAST(role_code AS BIGINT) AS role_code
+    FROM w WHERE prev_role = role_code ORDER BY doc_id
+"""
+
+
+def q_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """X70: first-order Markov transition counts over per-user event
+    streams — LAG(event_type) through the one-shuffle segmented window
+    kernel, then per-batch partial (prev, curr) counts merged on the driver
+    (result-sized: |event types|^2 rows per batch)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    w = wd.window_over(
+        ds,
+        key="user_id",
+        order=["ts", "event_id"],
+        specs=[("lag", "event_type", "prev_type")],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_type"].notna()]
+        return (
+            df.groupby(["prev_type", "event_type"], sort=False).size().reset_index(name="n")
+        )
+
+    parts = w.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["prev_type", "event_type"], sort=False, as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+QUERIES["q_markov_transitions"] = q_markov_transitions
+ORACLE_SQL["q_markov_transitions"] = """
+    WITH t AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+               FROM events)
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_decay_scores(sf_dir: str) -> pd.DataFrame:
+    """X71: half-life-decayed per-user activity score, integer-exact:
+    weight = 10^6 >> min(age_days, 40) relative to the global max event day
+    (power-of-two decay keeps every term an exact int64, so the sum is
+    order-independent). Two passes, both cheap: a scalar max-day aggregate,
+    then one partially-aggregated groupby-sum — no sort, no window."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def day_col(tbl: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(tbl["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": tbl["user_id"], "day": day})
+
+    days = ds.map_batches(day_col, batch_format="pyarrow").materialize()
+    mx = int(days.max("day"))
+
+    def weigh(tbl: pa.Table) -> pa.Table:
+        day = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        age = np.minimum(mx - day, 40)
+        w = (1_000_000 >> age.astype(np.uint64)).astype(np.int64)
+        return pa.table({"user_id": tbl["user_id"], "w": pa.array(w)})
+
+    out = (
+        days.map_batches(weigh, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("w", alias_name="decay_score"))
+        .to_pandas()
+    )
+    out = out.astype({"user_id": "int64", "decay_score": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["q_decay_scores"] = q_decay_scores
+ORACLE_SQL["q_decay_scores"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    m AS (SELECT MAX(day) AS mx FROM e)
+    SELECT user_id, CAST(SUM(1000000 // (1 << LEAST(mx - day, 40))) AS BIGINT) AS decay_score
+    FROM e, m GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """X72: exact phrase-occurrence search — the probe side of the
+    (gram_hash -> postings) inverted representation every dedup stage
+    shares. The query phrase (doc 0's first three words, so it's
+    deterministic at every sf) is hashed with the SAME rolling-gram kernel
+    as the corpus grams; matching is then one vectorized equality + bincount
+    per batch, streaming, no shuffle at all. Hash-vs-string equivalence to
+    the SQL gram filter is the gram_edges collision argument (~2**-64)."""
+    from ..functions.ngrams import chain_gram_hashes, explode_tokens
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    first = ds.filter(expr="doc_id == 0").take(1)[0]["text"]
+    phrase = " ".join(first.split(" ")[:3])
+    prow, pwh = explode_tokens(np.array([phrase], dtype=object), sep=" ")
+    _, pgh = chain_gram_hashes(prow, pwh, 3)
+    target = pgh[0]
+
+    def count_occ(tbl: pa.Table) -> pa.Table:
+        texts = np.asarray(tbl["text"].to_pandas(), dtype=object)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        rows, wh = explode_tokens(texts, sep=" ")
+        rows, gh = chain_gram_hashes(rows, wh, 3)
+        hit = rows[gh == target]
+        c = np.bincount(hit, minlength=len(ids)).astype(np.int64)
+        keep = c > 0
+        return pa.table(
+            {"doc_id": pa.array(ids[keep]), "n_occurrences": pa.array(c[keep])}
+        )
+
+    out = ds.map_batches(count_occ, batch_format="pyarrow").to_pandas()
+    out = out.astype({"doc_id": "int64", "n_occurrences": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_phrase_search"] = q_phrase_search
+ORACLE_SQL["q_phrase_search"] = """
+    WITH ph AS (SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS phrase
+                FROM documents WHERE doc_id = 0),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    occ AS (SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+2], ' ')
+                           FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+            FROM d)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM occ, ph WHERE gram = ph.phrase
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

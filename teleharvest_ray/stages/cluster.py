@@ -659,3 +659,44 @@ def _pagerank_rounds(
         lambda b: pd.DataFrame({"node": b["node"], "rank_ppm": b["r"]}),
         batch_format="pandas",
     )
+
+
+def triangle_counts(edges: pd.DataFrame, u: str = "id_a", v: str = "id_b") -> pd.DataFrame:
+    """Exact per-node triangle counts over an undirected candidate edge set
+    (distinct ``id_a < id_b`` pairs, e.g. ``dedup.gram_edges`` output).
+
+    Standard wedge-close formulation, fully vectorized: wedges (a,b,c with
+    b<c) come from one self-merge of the oriented edge list on the low
+    endpoint, and close iff (b,c) is itself an edge — a second hash merge.
+    Each triangle a<b<c is produced exactly once, so per-node counts are one
+    bincount over the three role columns. No Python loop over edges.
+
+    Scale contract (same as :func:`pagerank_local`): the input is a
+    CANDIDATE edge set — anomaly-sized by the banding/bucketing that
+    produced it, never corpus-sized. Wedge fan-out is bounded by
+    sum(deg+^2); a hot node beyond that budget needs the distributed
+    degeneracy-ordered variant (bucket by low endpoint, same two merges per
+    bucket), which this kernel's merge structure maps onto directly."""
+    a = np.asarray(edges[u], dtype=np.int64)
+    b = np.asarray(edges[v], dtype=np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    e = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]}).drop_duplicates()
+    if not len(e):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
+        )
+    wedge = e.merge(e, on="lo", suffixes=("_b", "_c"))
+    wedge = wedge[wedge["hi_b"] < wedge["hi_c"]]
+    tri = wedge.merge(
+        e.rename(columns={"lo": "hi_b", "hi": "hi_c"}), on=["hi_b", "hi_c"], how="inner"
+    )
+    nodes = np.concatenate(
+        [tri["lo"].to_numpy(np.int64), tri["hi_b"].to_numpy(np.int64), tri["hi_c"].to_numpy(np.int64)]
+    )
+    if not len(nodes):
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
+        )
+    uniq, counts = np.unique(nodes, return_counts=True)
+    return pd.DataFrame({"node": uniq, "n_triangles": counts.astype(np.int64)})

@@ -795,3 +795,56 @@ def shared_span_pairs(
         {"id_a": edges["id_a"], "id_b": edges["id_b"], "max_run": np.asarray(runs, dtype=np.int64)}
     )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def myers_distance(a: str, b: str) -> int:
+    """Exact Levenshtein distance via Myers' bit-parallel algorithm (Myers
+    1999, JACM 46(3); Hyyrö 2001 single-word formulation), computed over the
+    UTF-8 BYTES of both strings so it matches DuckDB's byte-based
+    ``levenshtein`` on any input (identical to codepoint distance on ASCII).
+    O(n) word operations when the shorter string fits one 64-bit word;
+    longer patterns fall back to the classic rolling two-row DP (numpy row
+    kernel, O(mn/vector-width))."""
+    p, t = a.encode(), b.encode()
+    if len(p) > len(t):
+        p, t = t, p
+    m = len(p)
+    if m == 0:
+        return len(t)
+    if m > 64:
+        pb = np.frombuffer(p, dtype=np.uint8)
+        idx = np.arange(m + 1, dtype=np.int64)
+        prev = idx.copy()
+        cur = np.empty(m + 1, dtype=np.int64)
+        for j, ch in enumerate(t, 1):
+            cur[0] = j
+            # delete (prev[i]+1) and substitute (prev[i-1]+cost) vectorize;
+            # chained inserts (cur[i-1]+1) resolve in one accumulate pass:
+            # min_{k<=i}(cur[k] + i - k) = minimum.accumulate(cur - i) + i
+            np.minimum(prev[1:] + 1, prev[:-1] + (pb != ch), out=cur[1:])
+            np.subtract(cur, idx, out=cur)
+            np.minimum.accumulate(cur, out=cur)
+            np.add(cur, idx, out=cur)
+            prev, cur = cur, prev
+        return int(prev[-1])
+    peq = [0] * 256
+    for i, ch in enumerate(p):
+        peq[ch] |= 1 << i
+    mask = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv, mv, score = mask, 0, m
+    for ch in t:
+        eq = peq[ch]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        if mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score

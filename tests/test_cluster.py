@@ -257,3 +257,42 @@ def test_pagerank_distributed_equals_local(ray_session):
     # isolated nodes sit at the teleport floor
     iso = loc[loc.node >= n_nodes]
     assert (iso.rank_ppm == cl.PR_BASE_PPM).all() and len(iso) == 50
+
+
+def test_triangle_counts_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(5)
+    edges = pd.DataFrame(
+        {
+            # includes duplicates, reversed orientations, and self-loops —
+            # the kernel must canonicalize all three
+            "id_a": rng.integers(0, 60, 800).astype(np.int64),
+            "id_b": rng.integers(0, 60, 800).astype(np.int64),
+        }
+    )
+    got = cl.triangle_counts(edges)
+    adj: dict[int, set[int]] = {}
+    seen = set()
+    for a, b in edges.itertuples(index=False):
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        seen.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    cnt: Counter = Counter()
+    for a, b in seen:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                cnt[a] += 1
+                cnt[b] += 1
+                cnt[c] += 1
+    exp = pd.DataFrame(sorted(cnt.items()), columns=["node", "n_triangles"]).astype("int64")
+    assert got.reset_index(drop=True).equals(exp)
+    # empty / loop-only inputs yield typed empty frames
+    e0 = cl.triangle_counts(pd.DataFrame({"id_a": [3], "id_b": [3]}))
+    assert list(e0.columns) == ["node", "n_triangles"] and not len(e0)

@@ -337,3 +337,29 @@ def test_char_jaccard_blockwise_hot_group(ray_session):
     tiled = run(7)  # forces diagonal AND off-diagonal tiles in the hot group
     assert dense == tiled
     assert len(dense) > 10  # the hot group actually exercises multi-tile pairing
+
+
+def test_myers_distance_matches_bruteforce_dp():
+    """Fuzz the bit-parallel kernel (word path <=64 bytes AND numpy
+    fallback) against the classic O(mn) DP, over a unicode alphabet so the
+    byte-level (DuckDB levenshtein) semantics are exercised."""
+    import random
+
+    def brute(a: str, b: str) -> int:
+        a, b = a.encode(), b.encode()
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    alph = "abcd таро"
+    for _ in range(200):
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 90)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 90)))
+        assert dd.myers_distance(a, b) == brute(a, b), (a, b)
+    assert dd.myers_distance("", "") == 0
+    assert dd.myers_distance("", "abc") == 3
