@@ -5318,6 +5318,174 @@ ORACLE_SQL["q_phrase_search"] = """
 """
 
 
+def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
+    """X73: audience-overlap analytics — for every event-type pair, the
+    number of distinct (user, day) combinations that performed both. The
+    classic bitmap-intersection shape: type codes come from one tiny
+    ``unique`` aggregate, each (user, day) collapses to ONE int bitmask
+    inside its hash bucket (distinct codes sum == OR), and only a 2^T-row
+    mask HISTOGRAM leaves each bucket — the driver folds pair counts out of
+    the histogram, never touching per-user data. One shuffle of int columns;
+    contract: the type vocabulary is small (T <= 20), inherent to
+    'event types'."""
+    from ..stages.joins import _key_hash
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    t_count = len(types)
+    n_buckets = 64
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": day.to_numpy(np.int64),
+                "c": pd.Categorical(df["event_type"], categories=types).codes.astype(np.int64),
+            }
+        ).drop_duplicates()
+        out["__b"] = (_key_hash(out["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day", "c"])
+        mask = np.int64(1) << g["c"].to_numpy(np.int64)
+        mg = (
+            pd.DataFrame({"u": g["user_id"], "d": g["day"], "m": mask})
+            .groupby(["u", "d"], sort=False)["m"]
+            .sum()
+        )
+        hist = np.bincount(mg.to_numpy(np.int64), minlength=1 << t_count)
+        nz = np.flatnonzero(hist)
+        return pd.DataFrame({"mask": nz.astype(np.int64), "n": hist[nz].astype(np.int64)})
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    hist = parts.groupby("mask")["n"].sum()
+    masks = hist.index.to_numpy(np.int64)
+    counts = hist.to_numpy(np.int64)
+    rows = []
+    for i in range(t_count):
+        for j in range(i + 1, t_count):
+            both = ((masks >> i) & 1).astype(bool) & ((masks >> j) & 1).astype(bool)
+            rows.append((types[i], types[j], int(counts[both].sum())))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_user_days"])
+    out["n_user_days"] = out["n_user_days"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+QUERIES["q_audience_overlap"] = q_audience_overlap
+ORACLE_SQL["q_audience_overlap"] = """
+    WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+               FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM p a JOIN p b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_interarrival_hist(sf_dir: str) -> pd.DataFrame:
+    """X74: inter-arrival-time distribution — per-user LAG over event
+    timestamps through the one-shuffle segmented window kernel, bucketed by
+    decimal-digit count of the gap in seconds (an integer-exact log-scale
+    histogram: digit count avoids float log10 edge cases entirely).
+    Per-batch bincount partials, result-sized driver merge."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id"])
+
+    def us_col(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("us", pc.cast(tbl["ts"], pa.int64()))
+
+    w = wd.window_over(
+        ds.map_batches(us_col, batch_format="pyarrow"),
+        key="user_id",
+        order=["ts", "event_id"],
+        specs=[("lag", "us", "pus")],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pus"].notna()]
+        # lag emits float64; event-epoch micros (~1.7e15) sit far below
+        # 2^53 so the round-trip is exact
+        sec = (d["us"].to_numpy(np.int64) - d["pus"].to_numpy(np.int64)) // 1_000_000
+        digits = pd.Series(sec).astype(str).str.len().to_numpy(np.int64)
+        cnt = np.bincount(digits)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"digits": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)})
+
+    parts = w.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("digits", as_index=False)["n"].sum()
+    out = out.astype({"digits": "int64", "n": "int64"})
+    return out.sort_values("digits").reset_index(drop=True)
+
+
+QUERIES["q_interarrival_hist"] = q_interarrival_hist
+ORACLE_SQL["q_interarrival_hist"] = """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+               FROM events)
+    SELECT CAST(length(CAST((us - pus) // 1000000 AS VARCHAR)) AS BIGINT) AS digits,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE pus IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_collect_events(sf_dir: str) -> pd.DataFrame:
+    """X75: ordered collect (SQL array_agg/string_agg ORDER BY) — each
+    user's full event-type path as one comma-joined string, built inside
+    hash buckets after ONE shuffle (bucket-local lexsort + grouped join, no
+    per-user map_groups). The result is user-history-sized by definition —
+    fine for the oracle surface; production pipelines would write it to a
+    partitioned sink instead of collecting (same note as q_token_stats)."""
+    from ..stages.joins import _key_hash
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    n_buckets = 64
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)
+        agg = grp["event_type"].agg(",".join)
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "path": agg.to_numpy(object),
+                "n_events": grp.size().to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["q_collect_events"] = q_collect_events
+ORACLE_SQL["q_collect_events"] = """
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
