@@ -282,32 +282,37 @@ def dup_ngram_stats(
 OOV_MIN_DF_PERMILLE = 100
 
 
-def vocab_doc_freq(ds, text_col: str = "text"):
-    """Corpus document-frequency table as a Ray aggregate: every batch emits
-    its DISTINCT (word -> partial df) counts — each document lives in exactly
-    one batch, so within-batch distinct (doc, word) pairs are globally
-    distinct and a vocabulary-sized ``groupby(word).sum`` finishes the count.
-    The shuffle moves vocabulary rows only; corpus text never leaves its
-    block. Returns the vocab as pandas (bounded: a df-thresholded vocabulary
-    is heavy-tail-cut small even at corpus scale)."""
+def df_partial(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch DISTINCT (word -> partial document frequency) counts — each
+    document lives in exactly one batch, so within-batch distinct (doc, word)
+    pairs are globally distinct and a vocabulary-sized ``groupby(word).sum``
+    finishes the count. Shared by :func:`vocab_doc_freq` and the frequency
+    spectrum (q_vocab_spectrum) so tokenization parity holds everywhere."""
+    s = pd.Series(np.asarray(tbl[text_col].to_numpy(zero_copy_only=False), dtype=object))
+    ex = s.str.split(" ").explode().dropna()
+    if not len(ex):
+        return pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "word": ex.to_numpy(object)})
+    dfc = pairs.drop_duplicates().groupby("word", sort=False).size()
+    return pa.table({"word": pa.array(dfc.index, pa.string()), "df": pa.array(dfc.to_numpy(np.int64))})
+
+
+def doc_freq_dataset(ds, text_col: str = "text"):
+    """The document-frequency table as a still-distributed Dataset (word, df):
+    one vocabulary-rows-only shuffle; corpus text never leaves its block."""
     from ray.data.aggregate import Sum as _Sum
 
-    def partial(tbl: pa.Table) -> pa.Table:
-        s = pd.Series(np.asarray(tbl[text_col].to_numpy(zero_copy_only=False), dtype=object))
-        ex = s.str.split(" ").explode().dropna()
-        if not len(ex):
-            return pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-        pairs = pd.DataFrame({"row": ex.index.to_numpy(np.int64), "word": ex.to_numpy(object)})
-        dfc = pairs.drop_duplicates().groupby("word", sort=False).size()
-        return pa.table({"word": pa.array(dfc.index, pa.string()), "df": pa.array(dfc.to_numpy(np.int64))})
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        ds.map_batches(lambda t: df_partial(t, text_col), batch_format="pyarrow")
         .groupby("word")
         .aggregate(_Sum("df", alias_name="df"))
-        .to_pandas()
     )
-    return out
+
+
+def vocab_doc_freq(ds, text_col: str = "text"):
+    """Corpus document-frequency table as pandas (bounded: a df-thresholded
+    vocabulary is heavy-tail-cut small even at corpus scale)."""
+    return doc_freq_dataset(ds, text_col=text_col).to_pandas()
 
 
 def common_vocabulary(ds, n_docs: int, text_col: str = "text", min_df_permille: int = OOV_MIN_DF_PERMILLE) -> frozenset:
