@@ -5520,6 +5520,90 @@ ORACLE_SQL["q_vocab_spectrum"] = """
 """
 
 
+_GRAM_EDGE_CTE = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+
+def q_degree_distribution(sf_dir: str) -> pd.DataFrame:
+    """X77: degree distribution of the candidate near-dup graph — the
+    standard graph-shape diagnostic next to X68/X64. Edges are
+    candidate-sized (gram_edges contract); degrees and the count-of-degrees
+    histogram are two bincounts."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    empty = pd.DataFrame(
+        {"degree": pd.Series(dtype="int64"), "n_nodes": pd.Series(dtype="int64")}
+    )
+    if not len(edges):
+        return empty
+    nodes = np.r_[edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64)]
+    _, deg = np.unique(nodes, return_counts=True)
+    cnt = np.bincount(deg)
+    nz = np.flatnonzero(cnt)
+    return pd.DataFrame(
+        {"degree": nz.astype(np.int64), "n_nodes": cnt[nz].astype(np.int64)}
+    )
+
+
+QUERIES["q_degree_distribution"] = q_degree_distribution
+ORACLE_SQL["q_degree_distribution"] = (
+    _GRAM_EDGE_CTE
+    + """
+    , deg AS (SELECT node, COUNT(*) AS degree FROM
+              (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e) GROUP BY node)
+    SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+"""
+)
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """X78: HITS hub/authority scores (Kleinberg) over the canonical
+    id_a->id_b orientation of the candidate graph — the link-analysis
+    complement to PageRank (X64). Integer-ppm with floor-div max
+    normalization after every half-step, so the two-iteration SQL
+    chained-CTE replay is bit-identical (cluster.hits_local; exact int64
+    groupby-sums, no float accumulation)."""
+    from ..stages import cluster as cl
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    out = cl.hits_local(
+        edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64), iters=2
+    ).rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
+QUERIES["q_hits"] = q_hits
+ORACLE_SQL["q_hits"] = (
+    _GRAM_EDGE_CTE
+    + """
+    , n AS (SELECT id_a AS node FROM e UNION SELECT id_b FROM e),
+    a1 AS (SELECT id_b AS node, SUM(1000000) AS s FROM e GROUP BY id_b),
+    a1n AS (SELECT n.node, COALESCE(a1.s, 0) * 1000000 // (SELECT MAX(s) FROM a1) AS v
+            FROM n LEFT JOIN a1 ON a1.node = n.node),
+    h1 AS (SELECT e.id_a AS node, SUM(a1n.v) AS s FROM e JOIN a1n ON a1n.node = e.id_b GROUP BY e.id_a),
+    h1n AS (SELECT n.node, COALESCE(h1.s, 0) * 1000000 // GREATEST((SELECT MAX(s) FROM h1), 1) AS v
+            FROM n LEFT JOIN h1 ON h1.node = n.node),
+    a2 AS (SELECT e.id_b AS node, SUM(h1n.v) AS s FROM e JOIN h1n ON h1n.node = e.id_a GROUP BY e.id_b),
+    a2n AS (SELECT n.node, COALESCE(a2.s, 0) * 1000000 // GREATEST((SELECT MAX(s) FROM a2), 1) AS v
+            FROM n LEFT JOIN a2 ON a2.node = n.node),
+    h2 AS (SELECT e.id_a AS node, SUM(a2n.v) AS s FROM e JOIN a2n ON a2n.node = e.id_b GROUP BY e.id_a),
+    h2n AS (SELECT n.node, COALESCE(h2.s, 0) * 1000000 // GREATEST((SELECT MAX(s) FROM h2), 1) AS v
+            FROM n LEFT JOIN h2 ON h2.node = n.node)
+    SELECT n.node AS doc_id, CAST(h2n.v AS BIGINT) AS hub_ppm, CAST(a2n.v AS BIGINT) AS auth_ppm
+    FROM n JOIN h2n ON h2n.node = n.node JOIN a2n ON a2n.node = n.node
+    ORDER BY doc_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

@@ -700,3 +700,47 @@ def triangle_counts(edges: pd.DataFrame, u: str = "id_a", v: str = "id_b") -> pd
         )
     uniq, counts = np.unique(nodes, return_counts=True)
     return pd.DataFrame({"node": uniq, "n_triangles": counts.astype(np.int64)})
+
+
+def hits_local(
+    u: np.ndarray, v: np.ndarray, iters: int = 2
+) -> pd.DataFrame:
+    """Integer-quantized HITS (Kleinberg 1999) over a directed candidate
+    edge list u->v: auth gathers hub mass over in-edges, hub gathers auth
+    mass over out-edges, each pass renormalized to ppm by floor-division by
+    the max (keeps every value an exact int64, so the SQL chained-CTE replay
+    is bit-identical). Per-iteration gathers are exact int64 pandas
+    groupby-sums — no float accumulation at any width. Same scale contract
+    as :func:`pagerank_local`: candidate-sized edges; the distributed
+    mapping is the PageRank one (bucketed join + carrier-union aggregate
+    per half-iteration)."""
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    keep = u != v
+    key = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+    u, v = key["u"].to_numpy(np.int64), key["v"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    if not len(nodes):
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "hub_ppm": pd.Series(dtype="int64"),
+                "auth_ppm": pd.Series(dtype="int64"),
+            }
+        )
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    n = len(nodes)
+
+    def gather(idx_dst: np.ndarray, weights: np.ndarray) -> np.ndarray:
+        s = pd.Series(weights).groupby(pd.Series(idx_dst), sort=False).sum()
+        out = np.zeros(n, dtype=np.int64)
+        out[s.index.to_numpy()] = s.to_numpy()
+        return out * 1_000_000 // max(int(out.max()), 1)
+
+    hub = np.full(n, 1_000_000, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        auth = gather(vi, hub[ui])
+        hub = gather(ui, auth[vi])
+    return pd.DataFrame({"node": nodes, "hub_ppm": hub, "auth_ppm": auth})

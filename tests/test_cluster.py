@@ -296,3 +296,37 @@ def test_triangle_counts_matches_bruteforce():
     # empty / loop-only inputs yield typed empty frames
     e0 = cl.triangle_counts(pd.DataFrame({"id_a": [3], "id_b": [3]}))
     assert list(e0.columns) == ["node", "n_triangles"] and not len(e0)
+
+
+def test_hits_local_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 40, 300).astype(np.int64)
+    v = rng.integers(0, 40, 300).astype(np.int64)
+    got = cl.hits_local(u, v, iters=2)
+    # independent scalar-loop replica of the integer-ppm recurrence
+    keep = u != v
+    edges = sorted(set(zip(u[keep].tolist(), v[keep].tolist())))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {x: 1_000_000 for x in nodes}
+    auth = {x: 0 for x in nodes}
+    for _ in range(2):
+        acc = {x: 0 for x in nodes}
+        for a, b in edges:
+            acc[b] += hub[a]
+        mx = max(max(acc.values()), 1)
+        auth = {x: val * 1_000_000 // mx for x, val in acc.items()}
+        acc = {x: 0 for x in nodes}
+        for a, b in edges:
+            acc[a] += auth[b]
+        mx = max(max(acc.values()), 1)
+        hub = {x: val * 1_000_000 // mx for x, val in acc.items()}
+    exp = pd.DataFrame(
+        {"node": nodes, "hub_ppm": [hub[x] for x in nodes], "auth_ppm": [auth[x] for x in nodes]}
+    ).astype("int64")
+    assert got.reset_index(drop=True).equals(exp)
+    e0 = cl.hits_local(np.array([5]), np.array([5]), iters=2)
+    assert list(e0.columns) == ["node", "hub_ppm", "auth_ppm"] and not len(e0)
