@@ -5604,6 +5604,65 @@ ORACLE_SQL["q_hits"] = (
 )
 
 
+def q_table_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """X79: order-independent table checksum — the consistency-audit
+    primitive a validation engine uses to certify two copies/snapshots hold
+    the same content without sorting or shuffling anything. Per-doc content
+    fingerprints (the oracle-proven X15 polynomial kernel) reduce under two
+    order-independent combiners — wraparound SUM mod 2^64 and XOR — as
+    one-row per-batch partials; any partitioning of the same rows yields
+    the same three numbers. Null-text docs are excluded on both sides
+    (q_fingerprint precedent)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl["text"]))
+        fp = ta.fingerprint64(tbl)["fingerprint"].to_numpy(zero_copy_only=False)
+        u = fp.astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.uint64(u.sum(dtype=np.uint64)) if len(u) else np.uint64(0)
+        x = np.bitwise_xor.reduce(u) if len(u) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(u)], pa.int64()),
+                "s": pa.array([np.int64(s)], pa.int64()),
+                "x": pa.array([np.int64(x)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    su = parts["s"].to_numpy(np.int64).view(np.uint64)
+    xu = parts["x"].to_numpy(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        total_s = np.uint64(su.sum(dtype=np.uint64)) if len(su) else np.uint64(0)
+    total_x = np.bitwise_xor.reduce(xu) if len(xu) else np.uint64(0)
+    return pd.DataFrame(
+        {
+            "n_rows": [np.int64(parts["n"].sum())],
+            "sum_fp": [np.int64(total_s)],
+            "xor_fp": [np.int64(total_x)],
+        }
+    ).astype("int64")
+
+
+QUERIES["q_table_fingerprint"] = q_table_fingerprint
+ORACLE_SQL["q_table_fingerprint"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN s > {2**63 - 1} THEN CAST(s AS HUGEINT) - {2**64}
+                     ELSE CAST(s AS HUGEINT) END AS BIGINT) AS sum_fp,
+           CAST(bit_xor(fingerprint) AS BIGINT) AS xor_fp
+    FROM (
+        SELECT fingerprint,
+               CAST(SUM(CASE WHEN fingerprint < 0
+                             THEN CAST(fingerprint AS HUGEINT) + {2**64}
+                             ELSE CAST(fingerprint AS HUGEINT) END)
+                    OVER () % {2**64} AS UBIGINT) AS s
+        FROM ({_fingerprint_sql()}) fp
+    ) t
+    GROUP BY s
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
