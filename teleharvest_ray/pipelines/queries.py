@@ -5730,6 +5730,130 @@ ORACLE_SQL["q_fd_audit"] = """
 """
 
 
+def q_pareto_front(sf_dir: str) -> pd.DataFrame:
+    """X81: Pareto frontier (skyline) — orders not dominated on (maximize
+    totalprice, minimize orderdate), the classic multi-criteria shortlist
+    operator. Two-phase distributed skyline: each batch emits its LOCAL
+    skyline (a sound prefilter — global winners are locally undominated),
+    the driver closes over the candidate union with the same vectorized
+    kernel (ordering.skyline_mask_2d: one lexsort + two prefix passes, no
+    pairwise matrix; fuzz-tested vs brute force incl. ties). Input sampled
+    to o_orderkey % 7 == 0 to bound the oracle's quadratic NOT EXISTS."""
+    from ..stages.ordering import skyline_mask_2d
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def local_skyline(tbl: pa.Table) -> pa.Table:
+        k = tbl["o_orderkey"]
+        tbl = tbl.filter(pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)), 0))
+        score = tbl["o_totalprice"].to_numpy(zero_copy_only=False)
+        cost = pc.cast(tbl["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        return tbl.filter(pa.array(skyline_mask_2d(score, cost)))
+
+    cand = ds.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
+    if len(cand):
+        m = skyline_mask_2d(
+            cand["o_totalprice"].to_numpy(),
+            cand["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy(),
+        )
+        cand = cand[m]
+    return cand.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES["q_pareto_front"] = q_pareto_front
+ORACLE_SQL["q_pareto_front"] = """
+    WITH t AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+               WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM t a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t b
+        WHERE b.o_totalprice >= a.o_totalprice AND b.o_orderdate <= a.o_orderdate
+          AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate))
+    ORDER BY o_orderkey
+"""
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """X82: snapshot diff / CDC — classify rows as added, removed, or
+    changed between two table versions by joining their content-hash
+    tables. v2 derives from documents by pure modular arithmetic (deletes at
+    %101, edits at %103 as n_chars+7, inserts at %107 as doc_id+10^9 with
+    n_chars+3) reproduced literally in SQL. Hashes are splitmix64 reduced to
+    48 bits so they survive the outer join's NA float promotion exactly;
+    the diff itself is the real machinery — a bucketed FULL OUTER hash join
+    of two 16-byte/row fingerprint streams, with only non-'unchanged' rows
+    surviving (anomaly-sized output)."""
+    from ..functions.hashing import splitmix64
+
+    mask48 = np.uint64((1 << 48) - 1)
+
+    def content_hash(did: np.ndarray, nch: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = splitmix64(did.astype(np.uint64) ^ (nch.astype(np.uint64) * np.uint64(1048576)))
+        return (h & mask48).astype(np.int64)
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def v1_hash(tbl: pa.Table) -> pa.Table:
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(did), "fp1": pa.array(content_hash(did, nch))})
+
+    def v2_hash(tbl: pa.Table) -> pa.Table:
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = did % 101 != 0
+        kd, kn = did[keep], nch[keep]
+        kn = np.where(kd % 103 == 0, kn + 7, kn)
+        add = did % 107 == 0
+        ad, an = did[add] + 1_000_000_000, nch[add] + 3
+        d2 = np.r_[kd, ad]
+        n2 = np.r_[kn, an]
+        return pa.table({"doc_id": pa.array(d2), "fp2": pa.array(content_hash(d2, n2))})
+
+    v1 = ds.map_batches(v1_hash, batch_format="pyarrow")
+    v2 = ds.map_batches(v2_hash, batch_format="pyarrow")
+    j = jn.bucketed_hash_join(v1, v2, on="doc_id", how="outer").to_pandas()
+    fp1 = j["fp1"].fillna(-1).astype("int64")
+    fp2 = j["fp2"].fillna(-1).astype("int64")
+    status = np.where(
+        fp2 < 0, "removed", np.where(fp1 < 0, "added", np.where(fp1 != fp2, "changed", ""))
+    )
+    out = pd.DataFrame({"doc_id": j["doc_id"].astype("int64"), "status": status})
+    out = out[out["status"] != ""]
+    out["status"] = out["status"].astype(object)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["q_snapshot_diff"] = q_snapshot_diff
+ORACLE_SQL["q_snapshot_diff"] = f"""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 103 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 101 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000000, n_chars + 3 FROM documents WHERE doc_id % 107 = 0
+    ),
+    u12 AS (SELECT 1 AS side, doc_id, n_chars FROM documents
+            UNION ALL SELECT 2, doc_id, n_chars FROM v2),
+    pre AS (SELECT side, doc_id,
+                   xor(CAST(doc_id AS UBIGINT), CAST(n_chars AS UBIGINT) * 1048576) AS x
+            FROM u12),
+    {_splitmix_full_cte('pre', ['side', 'doc_id'])},
+    hashed AS (SELECT side, doc_id, CAST(x % {1 << 48} AS BIGINT) AS fp FROM sm),
+    h1 AS (SELECT doc_id, fp FROM hashed WHERE side = 1),
+    h2 AS (SELECT doc_id, fp FROM hashed WHERE side = 2),
+    d AS (SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+                 CASE WHEN h2.doc_id IS NULL THEN 'removed'
+                      WHEN h1.doc_id IS NULL THEN 'added'
+                      WHEN h1.fp <> h2.fp THEN 'changed' END AS status
+          FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id)
+    SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

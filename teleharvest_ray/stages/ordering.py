@@ -279,3 +279,32 @@ def morton_interleave(ds: Dataset, cols: list[str], out_col: str = "zorder", bit
         return tbl.append_column(out_col, pa.array(z.astype(np.int64), pa.int64()))
 
     return ds.map_batches(add_z, batch_format="pyarrow", batch_size=None)
+
+
+def skyline_mask_2d(score: np.ndarray, cost: np.ndarray) -> np.ndarray:
+    """Boolean mask of 2-D Pareto-optimal rows: maximize ``score``, minimize
+    ``cost``. Row a is dominated iff some b has (score >= a.score AND
+    cost <= a.cost) with at least one strict; ties on BOTH axes keep both
+    rows. One lexsort + two vectorized prefix passes — no pairwise matrix.
+
+    Distributed usage (q_pareto_front): a partition-local skyline is a sound
+    prefilter (a globally undominated point is undominated in its
+    partition), so map_batches(local mask) -> global mask over the
+    candidate union gives the exact skyline with candidate-sized driver
+    state — the standard two-phase distributed skyline."""
+    n = len(score)
+    if not n:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((cost, -score))  # score desc, cost asc within
+    s, c = score[order], cost[order]
+    new_grp = np.r_[True, s[1:] != s[:-1]]
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    # min cost over all STRICTLY higher scores = running min up to the
+    # previous group's end (exclusive prefix over group starts)
+    run_min = np.minimum.accumulate(c)
+    prev_end = grp_start - 1  # -1 for the first group
+    min_higher = np.where(prev_end >= 0, run_min[np.maximum(prev_end, 0)], np.iinfo(np.int64).max)
+    keep_sorted = (min_higher > c) & (c == c[grp_start])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask

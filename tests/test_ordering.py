@@ -232,3 +232,22 @@ def test_grouped_moments_partition_invariant_and_match_pandas(ray_session):
         row = outs[0][outs[0].g == g].iloc[0]
         assert row["n"] == len(sub)
         assert abs(row["corr_ppm"] / 1e6 - sub.x.corr(sub.y)) < 2e-6
+
+
+def test_skyline_mask_matches_bruteforce():
+    import numpy as np
+    from teleharvest_ray.stages.ordering import skyline_mask_2d
+
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(0, 60))
+        s = rng.integers(0, 12, n).astype(np.int64)  # small domain -> heavy ties
+        c = rng.integers(0, 12, n).astype(np.int64)
+        got = skyline_mask_2d(s, c)
+        exp = np.ones(n, dtype=bool)
+        for i in range(n):
+            for j in range(n):
+                if (s[j] >= s[i] and c[j] <= c[i]) and (s[j] > s[i] or c[j] < c[i]):
+                    exp[i] = False
+                    break
+        assert (got == exp).all()
