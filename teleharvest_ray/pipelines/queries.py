@@ -5854,6 +5854,124 @@ ORACLE_SQL["q_snapshot_diff"] = f"""
 """
 
 
+def q_embedding_profile(sf_dir: str) -> pd.DataFrame:
+    """X83: list-column (vector) profiling — per-dimension sum/min/max/count
+    over the embeddings table, the column-stats primitive for vector columns
+    the north star calls out. Values quantize to floor(x * 10^6) int64
+    (float32→float64 widening is exact, so both engines compute the same
+    IEEE product) making every aggregate order-independent. Flat-buffer
+    matrix view per batch (functions/arrays.list_to_mat, zero row loops),
+    per-batch D-sized partials, driver combine."""
+    from ..functions.arrays import list_to_mat
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        mat = list_to_mat(tbl["embedding"]).astype(np.float64)
+        q = np.floor(mat * 1_000_000).astype(np.int64)
+        d = q.shape[1] if q.ndim == 2 and q.size else 0
+        if not d:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "min_q": pa.array([], pa.int64()),
+                    "max_q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)),
+                "min_q": pa.array(q.min(axis=0)),
+                "max_q": pa.array(q.max(axis=0)),
+                "n": pa.array(np.full(d, q.shape[0], dtype=np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("dim", as_index=False).agg(
+        sum_q=("sum_q", "sum"), min_q=("min_q", "min"), max_q=("max_q", "max"), n=("n", "sum")
+    )
+    out = out.astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+QUERIES["q_embedding_profile"] = q_embedding_profile
+ORACLE_SQL["q_embedding_profile"] = """
+    WITH flat AS (SELECT unnest([i FOR i IN generate_series(1, len(embedding))]) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+    q AS (SELECT dim, CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vq FROM flat)
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(SUM(vq) AS BIGINT) AS sum_q,
+           CAST(MIN(vq) AS BIGINT) AS min_q, CAST(MAX(vq) AS BIGINT) AS max_q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q GROUP BY dim ORDER BY dim
+"""
+
+
+def q_longest_run(sf_dir: str) -> pd.DataFrame:
+    """X84: gaps-and-islands — each user's longest consecutive same-type
+    event run under (ts, event_id) order. One hash-bucket shuffle, then a
+    fully vectorized island pass per bucket (boundary flags -> cumsum run
+    ids -> bincount lengths -> per-user max); the SQL replay is the classic
+    two-ROW_NUMBER island trick."""
+    from ..stages.joins import _key_hash
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    n_buckets = 64
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        new = np.r_[True, (u[1:] != u[:-1]) | (typ[1:] != typ[:-1])]
+        rid = np.cumsum(new) - 1
+        lens = np.bincount(rid)
+        run_user = u[np.flatnonzero(new)]
+        res = (
+            pd.DataFrame({"user_id": run_user, "run_len": lens})
+            .groupby("user_id", sort=False)["run_len"]
+            .max()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": res.index.to_numpy(np.int64),
+                "longest_run": res.to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+QUERIES["q_longest_run"] = q_longest_run
+ORACLE_SQL["q_longest_run"] = """
+    WITH t AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+               FROM events),
+    runs AS (SELECT user_id, COUNT(*) AS run_len
+             FROM t GROUP BY user_id, event_type, rn - rnt)
+    SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
