@@ -121,6 +121,9 @@ def main() -> None:
     run("q_sessionize", q.q_sessionize)
     run("q_oov_ratio", q.q_oov_ratio)
     run("q_pagerank", q.q_pagerank)
+    run("q_snapshot_diff", q.q_snapshot_diff)
+    run("q_audience_overlap", q.q_audience_overlap)
+    run("q_edit_distance_pairs", q.q_edit_distance_pairs)
 
     headline = timings["validate_transcripts"]
     out = {

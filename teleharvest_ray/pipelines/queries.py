@@ -5072,10 +5072,8 @@ def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
     ids = np.unique(np.r_[pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
     texts = dd.gather_texts(ds, "doc_id", "text", ids)
     prefix = {i: (t or "")[:64] for i, t in zip(texts["doc_id"], texts["text"])}
-    d = np.fromiter(
-        (dd.myers_distance(prefix[a], prefix[b]) for a, b in zip(pairs["id_a"], pairs["id_b"])),
-        dtype=np.int64,
-        count=len(pairs),
+    d = dd.myers_distance_batch(
+        [prefix[a] for a in pairs["id_a"]], [prefix[b] for b in pairs["id_b"]], prefix=64
     )
     out = pd.DataFrame(
         {

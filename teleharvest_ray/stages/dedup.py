@@ -848,3 +848,75 @@ def myers_distance(a: str, b: str) -> int:
         pv = mh | (~(xv | ph) & mask)
         mv = ph & xv
     return score
+
+
+def myers_distance_batch(a_texts, b_texts, prefix: int = 64) -> np.ndarray:
+    """Vectorized Myers across MANY pairs at once: the bit-parallel state of
+    every pair lives in one uint64 lane of a numpy vector, so the whole
+    candidate set advances one text position per ~15 vector ops — ~64x15
+    kernel calls TOTAL regardless of pair count, vs a Python loop per pair.
+    Equals ``myers_distance(a[:prefix], b[:prefix])`` exactly (parity
+    fuzz test); ``prefix`` <= 64 so every pattern fits one word. Lanes
+    whose text is exhausted freeze, so ragged lengths are exact. Only
+    ASCII-safe for the prefix slice (byte == char), same contract as the
+    caller's documents input; the scalar kernel remains the general path."""
+    if prefix > 64:
+        raise ValueError("prefix must be <= 64 for the single-word batch kernel")
+    n_pairs = len(a_texts)
+    if not n_pairs:
+        return np.zeros(0, dtype=np.int64)
+    pats = [a[:prefix].encode() for a in a_texts]
+    txts = [b[:prefix].encode() for b in b_texts]
+    # pattern = the SHORTER side (scalar kernel's convention)
+    swap = [len(p) > len(t) for p, t in zip(pats, txts)]
+    pats, txts = (
+        [t if s else p for p, t, s in zip(pats, txts, swap)],
+        [p if s else t for p, t, s in zip(pats, txts, swap)],
+    )
+    m = np.fromiter((len(p) for p in pats), dtype=np.int64, count=n_pairs)
+    tl = np.fromiter((len(t) for t in txts), dtype=np.int64, count=n_pairs)
+    if (m > 64).any():  # non-ASCII prefix expanded past one word: scalar path
+        return np.fromiter(
+            (myers_distance(a[:prefix], b[:prefix]) for a, b in zip(a_texts, b_texts)),
+            dtype=np.int64,
+            count=n_pairs,
+        )
+    tmax = int(tl.max()) if n_pairs else 0
+    # Peq[pair, byte]: bit i set where pattern byte i == byte. Built with one
+    # bitwise_or.at scatter per pattern position (<= 64 scatters total).
+    pmat = np.zeros((n_pairs, 64), dtype=np.uint8)
+    for i, p in enumerate(pats):
+        if p:
+            pmat[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    peq = np.zeros((n_pairs, 256), dtype=np.uint64)
+    lanes = np.arange(n_pairs)
+    for i in range(int(m.max()) if n_pairs else 0):
+        live = m > i
+        np.bitwise_or.at(peq, (lanes[live], pmat[live, i]), np.uint64(1 << i))
+    tmat = np.zeros((n_pairs, max(tmax, 1)), dtype=np.uint8)
+    for i, t in enumerate(txts):
+        if t:
+            tmat[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+    mask = np.where(m > 0, (~np.uint64(0)) >> np.uint64(64) - m.astype(np.uint64), 0)
+    high = np.where(m > 0, np.uint64(1) << np.maximum(m - 1, 0).astype(np.uint64), 0)
+    pv = mask.copy()
+    mv = np.zeros(n_pairs, dtype=np.uint64)
+    score = m.copy()
+    one = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(tmax):
+            active = (j < tl) & (m > 0)
+            eq = peq[lanes, tmat[:, j]]
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = mv | (~(xh | pv) & mask)
+            mh = pv & xh
+            score += np.where(active & ((ph & high) != 0), 1, 0)
+            score -= np.where(active & ((mh & high) != 0), 1, 0)
+            ph = ((ph << one) | one) & mask
+            mh = (mh << one) & mask
+            new_pv = mh | (~(xv | ph) & mask)
+            new_mv = ph & xv
+            pv = np.where(active, new_pv, pv)
+            mv = np.where(active, new_mv, mv)
+    return np.where(m > 0, score, tl).astype(np.int64)

@@ -363,3 +363,21 @@ def test_myers_distance_matches_bruteforce_dp():
         assert dd.myers_distance(a, b) == brute(a, b), (a, b)
     assert dd.myers_distance("", "") == 0
     assert dd.myers_distance("", "abc") == 3
+
+
+def test_myers_batch_matches_scalar():
+    """Lane-parallel batch kernel == scalar kernel on prefix-64 semantics,
+    over ragged lengths, empties, and non-ASCII (which routes lanes through
+    the scalar fallback when UTF-8 expansion exceeds one word)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(13)
+    alph = "abcde  таро"
+    a = ["".join(rng.choice(alph) for _ in range(rng.randint(0, 120))) for _ in range(300)]
+    b = ["".join(rng.choice(alph) for _ in range(rng.randint(0, 120))) for _ in range(300)]
+    got = dd.myers_distance_batch(a, b, prefix=64)
+    exp = np.array([dd.myers_distance(x[:64], y[:64]) for x, y in zip(a, b)], dtype=np.int64)
+    assert (got == exp).all()
+    assert len(dd.myers_distance_batch([], [])) == 0
