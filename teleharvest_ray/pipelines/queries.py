@@ -5970,6 +5970,169 @@ ORACLE_SQL["q_longest_run"] = """
 """
 
 
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """X85: PMI collocation mining — adjacent word pairs scored by an
+    integer PMI proxy, pmi_ppm = ((c_ab·10^6 // c_a) · Nu // c_b) · Nu // Nb
+    (the chained floor divisions are reproduced literally in SQL, so the
+    score is exact, not float log-PMI). Bigram and unigram counts are
+    pre-aggregated per batch in code space (the q_bigram_counts shape);
+    the unigram table is vocab-sized (the vocab_doc_freq precedent), the
+    scored output is bounded by the c_ab >= 5 heavy tail."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def bigram_partial(tbl: pa.Table) -> pa.Table:
+        tok = tf.tokenize(tbl["text"])
+        empty = pa.table(
+            {
+                "wa": pa.nulls(0, pa.string()),
+                "wb": pa.nulls(0, pa.string()),
+                "n": pa.nulls(0, pa.int64()),
+            }
+        )
+        if len(tok.codes) < 2:
+            return empty
+        same = tok.rows[1:] == tok.rows[:-1]
+        if not same.any():
+            return empty
+        v = np.int64(len(tok.uniques))
+        a = tok.codes[:-1][same].astype(np.int64)
+        b = tok.codes[1:][same].astype(np.int64)
+        uk, counts = np.unique(a * v + b, return_counts=True)
+        un = tok.uniques
+        return pa.table(
+            {
+                "wa": pa.array([un[k // v] for k in uk], pa.string()),
+                "wb": pa.array([un[k % v] for k in uk], pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def unigram_partial(tbl: pa.Table) -> pa.Table:
+        tok = tf.tokenize(tbl["text"])
+        if not len(tok.codes):
+            return pa.table({"w": pa.nulls(0, pa.string()), "c": pa.nulls(0, pa.int64())})
+        cnt = np.bincount(tok.codes, minlength=len(tok.uniques))
+        return pa.table(
+            {"w": pa.array(tok.uniques, pa.string()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    bcnt = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["wa", "wb"])
+        .aggregate(Sum("n", alias_name="c_ab"))
+        .to_pandas()
+    )
+    ucnt = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    nu = int(ucnt["c"].sum())
+    nb = int(bcnt["c_ab"].sum())
+    out = bcnt[bcnt["c_ab"] >= 5].copy()
+    marg = dict(zip(ucnt["w"], ucnt["c"].astype(np.int64)))
+    ca = out["wa"].map(marg).to_numpy(np.int64)
+    cb = out["wb"].map(marg).to_numpy(np.int64)
+    c_ab = out["c_ab"].to_numpy(np.int64)
+    pmi = ((c_ab * 1_000_000 // ca) * np.int64(nu) // cb) * np.int64(nu) // np.int64(nb)
+    out = pd.DataFrame(
+        {
+            "wa": out["wa"].to_numpy(object),
+            "wb": out["wb"].to_numpy(object),
+            "c_ab": c_ab,
+            "pmi_ppm": pmi.astype(np.int64),
+        }
+    )
+    return out.sort_values(["wa", "wb"]).reset_index(drop=True)
+
+
+QUERIES["q_collocations"] = q_collocations
+ORACLE_SQL["q_collocations"] = r"""
+    WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM tok),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    big AS (SELECT unnest(ws[1:len(ws)-1]) AS wa, unnest(ws[2:len(ws)]) AS wb
+            FROM tok WHERE len(ws) >= 2),
+    bcnt AS (SELECT wa, wb, COUNT(*) AS c_ab FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu, (SELECT COUNT(*) FROM big) AS nb)
+    SELECT wa, wb, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(((c_ab * 1000000 // ca.c) * nu // cb.c) * nu // nb AS BIGINT) AS pmi_ppm
+    FROM bcnt JOIN ucnt ca ON ca.w = bcnt.wa JOIN ucnt cb ON cb.w = bcnt.wb, tot
+    ORDER BY wa, wb
+"""
+
+
+def q_checksum_by_shard(sf_dir: str) -> pd.DataFrame:
+    """X86: per-partition checksum rollup — the lineage record a resumable
+    validation run writes per shard (north-star 'per-partition lineage +
+    metrics'). Same order-independent combiners as X79 (wraparound SUM mod
+    2^64 + XOR of content fingerprints) but grouped by shard = doc_id//100;
+    per-batch shard partials combine on the driver with reduceat (shard
+    count is partition-sized, not row-sized)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl["text"]))
+        fpt = ta.fingerprint64(tbl)
+        did = fpt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = fpt["fingerprint"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        shard = did // 100
+        order = np.argsort(shard, kind="stable")
+        shard, fp = shard[order], fp[order]
+        starts = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]])
+        with np.errstate(over="ignore"):
+            sums = np.add.reduceat(fp, starts)
+        xors = np.bitwise_xor.reduceat(fp, starts)
+        lens = np.diff(np.r_[starts, len(fp)])
+        return pa.table(
+            {
+                "shard": pa.array(shard[starts]),
+                "n": pa.array(lens.astype(np.int64)),
+                "s": pa.array(sums.view(np.int64)),
+                "x": pa.array(xors.view(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("shard", kind="stable")
+    shard = parts["shard"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, shard[1:] != shard[:-1]]) if len(shard) else np.array([], int)
+    su = parts["s"].to_numpy(np.int64).view(np.uint64)
+    xu = parts["x"].to_numpy(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        sums = np.add.reduceat(su, starts) if len(shard) else np.array([], np.uint64)
+    xors = np.bitwise_xor.reduceat(xu, starts) if len(shard) else np.array([], np.uint64)
+    ns = np.add.reduceat(parts["n"].to_numpy(np.int64), starts) if len(shard) else np.array([], np.int64)
+    return pd.DataFrame(
+        {
+            "shard": shard[starts] if len(shard) else np.array([], np.int64),
+            "n_rows": ns.astype(np.int64),
+            "sum_fp": sums.view(np.int64) if len(shard) else np.array([], np.int64),
+            "xor_fp": xors.view(np.int64) if len(shard) else np.array([], np.int64),
+        }
+    )
+
+
+QUERIES["q_checksum_by_shard"] = q_checksum_by_shard
+ORACLE_SQL["q_checksum_by_shard"] = f"""
+    SELECT CAST(doc_id // 100 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN s > {2**63 - 1} THEN CAST(s AS HUGEINT) - {2**64}
+                     ELSE CAST(s AS HUGEINT) END AS BIGINT) AS sum_fp,
+           CAST(bit_xor(fingerprint) AS BIGINT) AS xor_fp
+    FROM (
+        SELECT doc_id, fingerprint,
+               CAST(SUM(CASE WHEN fingerprint < 0
+                             THEN CAST(fingerprint AS HUGEINT) + {2**64}
+                             ELSE CAST(fingerprint AS HUGEINT) END)
+                    OVER (PARTITION BY doc_id // 100) % {2**64} AS UBIGINT) AS s
+        FROM ({_fingerprint_sql()}) fp
+    ) t
+    GROUP BY 1, s ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
