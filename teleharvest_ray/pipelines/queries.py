@@ -6133,6 +6133,64 @@ ORACLE_SQL["q_checksum_by_shard"] = f"""
 """
 
 
+def q_trailing_hour(sf_dir: str) -> pd.DataFrame:
+    """X87: time-RANGE window frames — each event's trailing-1-hour value
+    sum within its user stream (SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW, a different frame algebra from the ROWS windows of
+    X11/X39). One hash-bucket shuffle, then windows.trailing_range_sum's
+    composite-key searchsorted kernel per bucket — frame bounds for every
+    row from ONE searchsorted pair, peers-at-equal-ts included exactly as
+    SQL requires."""
+    from ..stages.joins import _key_hash
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "us": pc.cast(tbl["ts"], pa.int64()),
+                "fv": pc.cast(pc.floor(tbl["value"]), pa.int64()),
+            }
+        )
+
+    n_buckets = 64
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = wd.trailing_range_sum(
+            g.drop(columns="__b"), key="user_id", ts_col="us", val_col="fv",
+            window_us=3_600_000_000,
+        )
+        return out[["event_id", "user_id", "trail_sum"]]
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"event_id": "int64", "user_id": "int64", "trail_sum": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+QUERIES["q_trailing_hour"] = q_trailing_hour
+ORACLE_SQL["q_trailing_hour"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum
+    FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

@@ -255,3 +255,35 @@ def funnel_stages(
         .groupby("__b")
         .map_groups(lambda g: bucket(g.drop(columns="__b")), batch_format="pandas")
     )
+
+
+def trailing_range_sum(
+    df: pd.DataFrame,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    window_us: int,
+    out_col: str = "trail_sum",
+) -> pd.DataFrame:
+    """SQL RANGE-frame trailing sum (RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW) over one frame, fully vectorized: rows sort (key, ts), each
+    key's timestamps embed into a composite int64 key (key_code * span + ts)
+    so ONE global searchsorted pair finds every row's frame bounds — the
+    'right' bound includes equal-ts peers exactly as the SQL frame does —
+    and the sum is two prefix-array gathers. Use inside a hash-bucket
+    map_groups for the distributed form (q_trailing_hour)."""
+    d = df.sort_values([key, ts_col], kind="stable").reset_index(drop=True)
+    if not len(d):
+        d[out_col] = pd.Series(dtype="int64")
+        return d
+    kc = pd.factorize(d[key], use_na_sentinel=True)[0].astype(np.int64)
+    us = d[ts_col].to_numpy(np.int64)
+    base = us.min()
+    span = us.max() - base + np.int64(window_us) + 2
+    k = kc * span + (us - base)
+    v = d[val_col].to_numpy(np.int64)
+    pre = np.r_[0, np.cumsum(v)]
+    lo = np.searchsorted(k, kc * span + (us - base) - np.int64(window_us), side="left")
+    hi = np.searchsorted(k, k, side="right")
+    d[out_col] = (pre[hi] - pre[lo]).astype(np.int64)
+    return d
