@@ -6191,6 +6191,108 @@ ORACLE_SQL["q_trailing_hour"] = """
 """
 
 
+def _length_group_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared base for the exact two-sample drift tests (X88/X89): per-value
+    counts of n_chars split lang=='en' vs rest. Per-batch partial counts,
+    one value-domain-sized Sum shuffle — the corpus never leaves its blocks;
+    the driver holds |distinct n_chars| x 2 rows."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars", "lang"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        v = tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pc.equal(tbl["lang"], "en").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (
+            pd.DataFrame({"v": v, "g": g})
+            .groupby(["v", "g"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["v", "g"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return out.astype({"v": "int64", "g": "int64", "cnt": "int64"})
+
+
+def q_mannwhitney_u(sf_dir: str) -> pd.DataFrame:
+    """X88: exact Mann-Whitney U two-sample drift test (doc length, en vs
+    rest) — the rank-sum statistic with tie-averaged ranks kept EXACT as the
+    integer 2U (doubling clears the half-ranks): 2R1 = sum_v c1_v * (2*cumb_v
+    + ct_v + 1), 2U1 = 2R1 - n1(n1+1). Driver arithmetic over the
+    value-domain histogram; SQL replays the same window cumsum formula."""
+    h = _length_group_hist(sf_dir)
+    pv = (
+        h.pivot_table(index="v", columns="g", values="cnt", aggfunc="sum", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    c1 = pv[1].to_numpy(np.int64)
+    ct = (pv[0] + pv[1]).to_numpy(np.int64)
+    cumb = np.r_[0, np.cumsum(ct)[:-1]]
+    n1 = int(c1.sum())
+    n2 = int(ct.sum()) - n1
+    two_r1 = int((c1 * (2 * cumb + ct + 1)).sum())
+    return pd.DataFrame(
+        {"n1": [n1], "n2": [n2], "u2": [two_r1 - n1 * (n1 + 1)]}
+    ).astype("int64")
+
+
+QUERIES["q_mannwhitney_u"] = q_mannwhitney_u
+ORACLE_SQL["q_mannwhitney_u"] = """
+    WITH c AS (SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, COUNT(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    pv AS (SELECT v, SUM(CASE WHEN g = 1 THEN cnt ELSE 0 END) AS c1,
+                  SUM(cnt) AS ct FROM c GROUP BY v),
+    w AS (SELECT v, c1, ct,
+                 COALESCE(SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+          FROM pv),
+    agg AS (SELECT SUM(c1) AS n1, SUM(ct) - SUM(c1) AS n2,
+                   SUM(c1 * (2 * cumb + ct + 1)) AS two_r1
+            FROM w)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u2
+    FROM agg
+"""
+
+
+def q_ks_exact(sf_dir: str) -> pd.DataFrame:
+    """X89: exact two-sample Kolmogorov-Smirnov distance as a rational —
+    ks_num = max_v |cum1(v)*n2 - cum2(v)*n1| with the n1*n2 denominator
+    carried separately, so the drift statistic is integer-exact (the float
+    KS in stages/stats.py is the streaming-sketch path; this is its exact
+    certificate twin). Same value-domain histogram base as X88."""
+    h = _length_group_hist(sf_dir)
+    pv = (
+        h.pivot_table(index="v", columns="g", values="cnt", aggfunc="sum", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    c1 = pv[1].to_numpy(np.int64)
+    c2 = pv[0].to_numpy(np.int64)
+    cum1, cum2 = np.cumsum(c1), np.cumsum(c2)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    ks_num = int(np.abs(cum1 * n2 - cum2 * n1).max()) if len(c1) else 0
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "ks_num": [ks_num]}).astype("int64")
+
+
+QUERIES["q_ks_exact"] = q_ks_exact
+ORACLE_SQL["q_ks_exact"] = """
+    WITH c AS (SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, COUNT(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    pv AS (SELECT v, SUM(CASE WHEN g = 1 THEN cnt ELSE 0 END) AS c1,
+                  SUM(CASE WHEN g = 0 THEN cnt ELSE 0 END) AS c2 FROM c GROUP BY v),
+    w AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1, SUM(c2) OVER (ORDER BY v) AS cum2 FROM pv),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pv)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num
+    FROM w, tot GROUP BY n1, n2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
