@@ -5047,6 +5047,16 @@ ORACLE_SQL["q_ppm_decode"] = """
 """
 
 
+_GRAM_EDGE_CTE = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+
 def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
     """X67: blocked edit-distance near-duplicates. Candidates = doc pairs
     sharing a word 4-gram (dedup.gram_edges — one shuffle; the pair set
@@ -5089,20 +5099,17 @@ def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q_edit_distance_pairs"] = q_edit_distance_pairs
-ORACLE_SQL["q_edit_distance_pairs"] = """
-    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-    g AS (SELECT DISTINCT doc_id,
-                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
-          FROM d),
-    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-    dist AS (SELECT id_a, id_b,
+ORACLE_SQL["q_edit_distance_pairs"] = (
+    _GRAM_EDGE_CTE
+    + """
+    , dist AS (SELECT id_a, id_b,
                     CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT) AS d64
              FROM e
              JOIN documents da ON da.doc_id = e.id_a
              JOIN documents db ON db.doc_id = e.id_b)
     SELECT id_a, id_b, d64 FROM dist WHERE d64 <= 16 ORDER BY id_a, id_b
 """
+)
 
 
 def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
@@ -5124,14 +5131,10 @@ def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["q_triangle_counts"] = q_triangle_counts
-ORACLE_SQL["q_triangle_counts"] = """
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    g AS (SELECT DISTINCT doc_id,
-                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
-          FROM d),
-    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-    tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+ORACLE_SQL["q_triangle_counts"] = (
+    _GRAM_EDGE_CTE
+    + """
+    , tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
             FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
                       JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
     nodes AS (SELECT a AS node FROM tri
@@ -5140,6 +5143,7 @@ ORACLE_SQL["q_triangle_counts"] = """
     SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM nodes GROUP BY 1 ORDER BY 1
 """
+)
 
 
 def q_role_alternation(sf_dir: str) -> pd.DataFrame:
@@ -5279,9 +5283,13 @@ def q_phrase_search(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     first = ds.filter(expr="doc_id == 0").take(1)[0]["text"]
-    phrase = " ".join(first.split(" ")[:3])
+    phrase = " ".join(first.split(" ")[:3]) if first else ""
     prow, pwh = explode_tokens(np.array([phrase], dtype=object), sep=" ")
     _, pgh = chain_gram_hashes(prow, pwh, 3)
+    if not len(pgh):  # doc 0 shorter than the phrase length: the SQL gram
+        return pd.DataFrame(  # filter matches nothing
+            {"doc_id": pd.Series(dtype="int64"), "n_occurrences": pd.Series(dtype="int64")}
+        )
     target = pgh[0]
 
     def count_occ(tbl: pa.Table) -> pa.Table:
@@ -5372,8 +5380,12 @@ def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
     for i in range(t_count):
         for j in range(i + 1, t_count):
             both = ((masks >> i) & 1).astype(bool) & ((masks >> j) & 1).astype(bool)
-            rows.append((types[i], types[j], int(counts[both].sum())))
+            n = int(counts[both].sum())
+            if n:  # the oracle's inner self-join emits no row for a
+                rows.append((types[i], types[j], n))  # never-co-occurring pair
     out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_user_days"])
+    out["type_a"] = out["type_a"].astype(object)
+    out["type_b"] = out["type_b"].astype(object)
     out["n_user_days"] = out["n_user_days"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
@@ -5492,7 +5504,9 @@ def q_vocab_spectrum(sf_dir: str) -> pd.DataFrame:
     only), then per-batch bincount partials reduce the vocab-sized table to
     a spectrum-sized result without collecting the vocabulary anywhere."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
-    voc = ta.doc_freq_dataset(ds, text_col="text")
+    # repartition guard: aggregate output partition count follows input block
+    # count and can include empty SCHEMA-LESS blocks (see q_word_count note)
+    voc = ta.doc_freq_dataset(ds, text_col="text").repartition(2)
 
     def spectrum_partial(tbl: pa.Table) -> pa.Table:
         dfv = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -5515,16 +5529,6 @@ ORACLE_SQL["q_vocab_spectrum"] = """
     dfreq AS (SELECT word, COUNT(*) AS df FROM w GROUP BY word)
     SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_words
     FROM dfreq GROUP BY df ORDER BY df
-"""
-
-
-_GRAM_EDGE_CTE = """
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    g AS (SELECT DISTINCT doc_id,
-                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
-          FROM d),
-    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 """
 
 
@@ -6077,6 +6081,15 @@ def q_checksum_by_shard(sf_dir: str) -> pd.DataFrame:
         fpt = ta.fingerprint64(tbl)
         did = fpt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         fp = fpt["fingerprint"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        if not len(did):  # reduceat on an empty array raises; emit a typed
+            return pa.table(  # empty partial instead
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                }
+            )
         shard = did // 100
         order = np.argsort(shard, kind="stable")
         shard, fp = shard[order], fp[order]

@@ -875,12 +875,17 @@ def myers_distance_batch(a_texts, b_texts, prefix: int = 64) -> np.ndarray:
     )
     m = np.fromiter((len(p) for p in pats), dtype=np.int64, count=n_pairs)
     tl = np.fromiter((len(t) for t in txts), dtype=np.int64, count=n_pairs)
-    if (m > 64).any():  # non-ASCII prefix expanded past one word: scalar path
-        return np.fromiter(
-            (myers_distance(a[:prefix], b[:prefix]) for a, b in zip(a_texts, b_texts)),
-            dtype=np.int64,
-            count=n_pairs,
+    wide = m > 64  # non-ASCII prefix expanded past one word
+    if wide.any():  # route ONLY those lanes through the scalar kernel —
+        out = np.empty(n_pairs, dtype=np.int64)  # the rest stay vectorized
+        keep = ~wide
+        kidx = np.flatnonzero(keep)
+        out[kidx] = myers_distance_batch(
+            [a_texts[i] for i in kidx], [b_texts[i] for i in kidx], prefix=prefix
         )
+        for i in np.flatnonzero(wide):
+            out[i] = myers_distance(a_texts[i][:prefix], b_texts[i][:prefix])
+        return out
     tmax = int(tl.max()) if n_pairs else 0
     # Peq[pair, byte]: bit i set where pattern byte i == byte. Built with one
     # bitwise_or.at scatter per pattern position (<= 64 scatters total).
