@@ -6306,6 +6306,94 @@ ORACLE_SQL["q_ks_exact"] = """
 """
 
 
+def q_dwell_time(sf_dir: str) -> pd.DataFrame:
+    """X90: state dwell-time accounting — for each event type, the total
+    time users spend 'in' that state (gap until the user's next event,
+    LEAD semantics). One segmented-window shuffle, integer epoch-second
+    gaps, per-batch partial (type, dwell, n) sums, result-sized merge."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def us_col(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("us", pc.cast(tbl["ts"], pa.int64()))
+
+    w = wd.window_over(
+        ds.map_batches(us_col, batch_format="pyarrow"),
+        key="user_id",
+        order=["ts", "event_id"],
+        specs=[("lead", "us", "nus")],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["nus"].notna()]
+        gap = (d["nus"].to_numpy(np.int64) - d["us"].to_numpy(np.int64)) // 1_000_000
+        g = pd.DataFrame({"event_type": d["event_type"].to_numpy(object), "gap": gap})
+        out = g.groupby("event_type", sort=False).agg(
+            dwell_sec=("gap", "sum"), n=("gap", "size")
+        )
+        return out.reset_index()
+
+    parts = w.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        dwell_sec=("dwell_sec", "sum"), n=("n", "sum")
+    )
+    out = out.astype({"dwell_sec": "int64", "n": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["q_dwell_time"] = q_dwell_time
+ORACLE_SQL["q_dwell_time"] = """
+    WITH t AS (SELECT event_type, epoch_us(ts) AS us,
+                      LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nus
+               FROM events)
+    SELECT event_type, CAST(SUM((nus - us) // 1000000) AS BIGINT) AS dwell_sec,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE nus IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_charset_profile(sf_dir: str) -> pd.DataFrame:
+    """X91: per-language character-set profile — distinct codepoint count
+    plus min/max codepoint, the mojibake / encoding-drift diagnostic a text
+    validation engine runs per column group. One utf-32 decode of each
+    batch's concatenated text (no per-char Python), per-batch distinct
+    (lang, cp) pairs — bounded by |langs| x |alphabet| — then a tiny global
+    dedup + groupby."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl["text"].to_pandas()
+        langs = np.asarray(tbl["lang"].to_pandas(), dtype=object)
+        texts = ["" if pd.isna(t) else t for t in s.tolist()]
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        rows = np.repeat(np.arange(len(texts)), lens)
+        pairs = pd.DataFrame({"lang": langs[rows], "cp": cps}).drop_duplicates()
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas().drop_duplicates()
+    out = pairs.groupby("lang", as_index=False).agg(
+        n_distinct_chars=("cp", "size"), min_cp=("cp", "min"), max_cp=("cp", "max")
+    )
+    out = out.astype({"n_distinct_chars": "int64", "min_cp": "int64", "max_cp": "int64"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["q_charset_profile"] = q_charset_profile
+ORACLE_SQL["q_charset_profile"] = """
+    WITH ch AS (SELECT lang,
+                       unnest([unicode(substr(text, i, 1)) FOR i IN generate_series(1, length(text))]) AS cp
+                FROM documents),
+    d AS (SELECT DISTINCT lang, cp FROM ch)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(MIN(cp) AS BIGINT) AS min_cp, CAST(MAX(cp) AS BIGINT) AS max_cp
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
