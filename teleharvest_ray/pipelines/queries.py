@@ -6522,6 +6522,108 @@ ORACLE_SQL["q_log_compaction"] = """
 """
 
 
+def q_autocorr_daily(sf_dir: str) -> pd.DataFrame:
+    """X94: time-series lag-1 autocorrelation of the daily event-count
+    series, as exact integer moments (n·Σxy−ΣxΣy over the paired series;
+    the caller divides cov_num/sqrt(var_x·var_y) if a float is wanted).
+    Daily counts come from per-batch partials + one day-domain-sized
+    shuffle — the day domain grows with time span, not data volume."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = (
+            pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    d = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = d["day"].to_numpy(np.int64)
+    c = d["c"].to_numpy(np.int64)
+    nxt = dict(zip(day, c))
+    x = np.array([c[i] for i in range(len(day)) if day[i] + 1 in nxt], dtype=np.int64)
+    y = np.array([nxt[day[i] + 1] for i in range(len(day)) if day[i] + 1 in nxt], dtype=np.int64)
+    n = len(x)
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "cov_num": [int(n * (x * y).sum() - x.sum() * y.sum())],
+            "var_x": [int(n * (x * x).sum() - x.sum() * x.sum())],
+            "var_y": [int(n * (y * y).sum() - y.sum() * y.sum())],
+        }
+    ).astype("int64")
+
+
+QUERIES["q_autocorr_daily"] = q_autocorr_daily
+ORACLE_SQL["q_autocorr_daily"] = """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c FROM events GROUP BY 1),
+    p AS (SELECT a.c AS x, b.c AS y FROM d a JOIN d b ON b.day = a.day + 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+           CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS var_x,
+           CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS BIGINT) AS var_y
+    FROM p
+"""
+
+
+def q_kanonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """X95: k-anonymity / l-diversity privacy audit over the
+    quasi-identifier (lang, source): groups smaller than k=5 or with fewer
+    than l=3 distinct sensitive values (n_chars) are re-identification
+    risks. One shuffle of (QI, sensitive, cnt) partials; violators-only
+    output (the X80 validation contract). Complements the X16 PII scan on
+    the privacy side of the engine."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        c = (
+            pd.DataFrame(
+                {
+                    "lang": np.asarray(tbl["lang"].to_pandas(), dtype=object),
+                    "source": np.asarray(tbl["source"].to_pandas(), dtype=object),
+                    "v": tbl["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            .groupby(["lang", "source", "v"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "v"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    g = h.groupby(["lang", "source"], as_index=False).agg(
+        n_rows=("cnt", "sum"), n_sensitive=("v", "size")
+    )
+    out = g[(g["n_rows"] < 5) | (g["n_sensitive"] < 3)].copy()
+    out["lang"] = out["lang"].astype(object)
+    out["source"] = out["source"].astype(object)
+    out = out.astype({"n_rows": "int64", "n_sensitive": "int64"})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+QUERIES["q_kanonymity_audit"] = q_kanonymity_audit
+ORACLE_SQL["q_kanonymity_audit"] = """
+    WITH g AS (SELECT lang, source, COUNT(*) AS n_rows,
+                      COUNT(DISTINCT n_chars) AS n_sensitive
+               FROM documents GROUP BY 1, 2)
+    SELECT lang, source, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive
+    FROM g WHERE n_rows < 5 OR n_sensitive < 3
+    ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
