@@ -6624,6 +6624,81 @@ ORACLE_SQL["q_kanonymity_audit"] = """
 """
 
 
+def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """X96: asymmetric containment scoring (Broder's containment, the
+    sub-document-dedup metric resemblance misses): candidate pairs sharing
+    any word 3-gram shingle — EXHAUSTIVE shared-shingle pairing through the
+    one-shuffle bucket machinery, not LSH (low-Jaccard/high-containment
+    pairs must not escape) — verified with exact shingle-set intersections
+    (the shared X2/X4 kernel). A pair survives when inter*2 >= min(n_a,
+    n_b): half the smaller doc's shingles are contained. All-integer
+    output."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_shingles(tbl: pa.Table) -> pa.Table:
+        texts = np.asarray(tbl["text"].to_pandas(), dtype=object)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        rows, sh = dd._shingle_hashes(texts, 3)
+        if len(rows):
+            order = np.lexsort((sh, rows))
+            rows, sh = rows[order], sh[order]
+            first = np.r_[True, (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])]
+            rows, sh = rows[first], sh[first]
+        return pa.table(
+            {"bh": pa.array(sh.astype(np.int64)), "doc_id": pa.array(ids[rows])}
+        )
+
+    grams = ds.map_batches(to_shingles, batch_format="pyarrow")
+    pairs = dd._bucket_pairs_distributed(grams, ["bh"], "doc_id", cap=2**31)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "inter": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(pairs):
+        return empty
+    ids = np.unique(np.r_[pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
+    texts = dd.gather_texts(ds, "doc_id", "text", ids)
+    id_to_text = dict(zip(texts["doc_id"], texts["text"]))
+    inter, n_a, n_b = dd._pair_shingle_intersections(pairs, id_to_text, 3)
+    out = pd.DataFrame(
+        {
+            "id_a": pairs["id_a"].to_numpy(np.int64),
+            "id_b": pairs["id_b"].to_numpy(np.int64),
+            "inter": inter,
+            "n_a": n_a,
+            "n_b": n_b,
+        }
+    )
+    out = out[2 * out["inter"] >= np.minimum(out["n_a"], out["n_b"])]
+    if not len(out):
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+QUERIES["q_containment_pairs"] = q_containment_pairs
+ORACLE_SQL["q_containment_pairs"] = """
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+               WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
+    g AS (SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+          FROM d),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE 2 * i >= LEAST(sa.n, sb.n)
+    ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

@@ -343,6 +343,22 @@ def verify_pairs_jaccard(
     tuple-set Jaccard up to negligible collision probability."""
     if not len(pairs):
         return pairs.assign(jaccard=pd.Series(dtype="float64"))
+    inter, sa, sb = _pair_shingle_intersections(pairs, id_to_text, n)
+    union = sa + sb - inter
+    jac = np.where((sa == 0) & (sb == 0), 1.0, inter / np.maximum(union, 1))
+    out = pairs.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def _pair_shingle_intersections(
+    pairs: pd.DataFrame, id_to_text: dict, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(intersection size, |shingles_a|, |shingles_b|) for every candidate
+    pair — the shared exact-verification core of Jaccard (resemblance) and
+    containment. Shingle-hash sets are computed ONCE per distinct doc (one
+    explode over all texts), every pair's intersection size falls out of a
+    single lexsort over the exploded (pair, hash) rows — no per-pair
+    Python."""
     uids = np.unique(np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
     texts = np.asarray([id_to_text[i] for i in uids], dtype=object)
     rows, sh = _shingle_hashes(texts, n)
@@ -375,10 +391,7 @@ def verify_pairs_jaccard(
     tag, hh = tag[o2], hh[o2]
     hit = np.r_[False, (tag[1:] == tag[:-1]) & (hh[1:] == hh[:-1])]
     inter = np.bincount(tag[hit], minlength=len(pairs))
-    union = sizes[ai] + sizes[bi] - inter
-    jac = np.where((sizes[ai] == 0) & (sizes[bi] == 0), 1.0, inter / np.maximum(union, 1))
-    out = pairs.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return inter.astype(np.int64), sizes[ai].astype(np.int64), sizes[bi].astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
