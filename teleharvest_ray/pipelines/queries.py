@@ -5334,26 +5334,21 @@ def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
     the histogram, never touching per-user data. One shuffle of int columns;
     contract: the type vocabulary is small (T <= 20), inherent to
     'event types'."""
-    from ..stages.joins import _key_hash
-
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
     types = sorted(ds.unique("event_type"))
     t_count = len(types)
-    n_buckets = 64
+    if t_count > 20:  # the 2^T mask histogram is the contract; fail loudly
+        raise ValueError(f"event-type vocabulary too wide for bitmap overlap: {t_count} > 20")
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
         day = df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(np.int64),
                 "day": day.to_numpy(np.int64),
                 "c": pd.Categorical(df["event_type"], categories=types).codes.astype(np.int64),
             }
         ).drop_duplicates()
-        out["__b"] = (_key_hash(out["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
-            np.int32
-        )
-        return out
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "day", "c"])
@@ -5367,12 +5362,9 @@ def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
         nz = np.flatnonzero(hist)
         return pd.DataFrame({"mask": nz.astype(np.int64), "n": hist[nz].astype(np.int64)})
 
-    parts = (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = wd.bucketed_map_groups(
+        ds.map_batches(derive, batch_format="pandas"), "user_id", per_bucket
+    ).to_pandas()
     hist = parts.groupby("mask")["n"].sum()
     masks = hist.index.to_numpy(np.int64)
     counts = hist.to_numpy(np.int64)
@@ -5454,18 +5446,9 @@ def q_collect_events(sf_dir: str) -> pd.DataFrame:
     per-user map_groups). The result is user-history-sized by definition —
     fine for the oracle surface; production pipelines would write it to a
     partitioned sink instead of collecting (same note as q_token_stats)."""
-    from ..stages.joins import _key_hash
-
     ds = rd.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
-    n_buckets = 64
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
-            np.int32
-        )
-        return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -5479,12 +5462,7 @@ def q_collect_events(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    out = wd.bucketed_map_groups(ds, "user_id", per_bucket).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -5633,14 +5611,23 @@ def q_table_fingerprint(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_rows = int(parts["n"].sum()) if len(parts) else 0
+    if n_rows == 0:  # all-null-text table: the oracle's base CTE is empty
+        return pd.DataFrame(  # and yields ZERO rows, not a (0,0,0) row
+            {
+                "n_rows": pd.Series(dtype="int64"),
+                "sum_fp": pd.Series(dtype="int64"),
+                "xor_fp": pd.Series(dtype="int64"),
+            }
+        )
     su = parts["s"].to_numpy(np.int64).view(np.uint64)
     xu = parts["x"].to_numpy(np.int64).view(np.uint64)
     with np.errstate(over="ignore"):
-        total_s = np.uint64(su.sum(dtype=np.uint64)) if len(su) else np.uint64(0)
-    total_x = np.bitwise_xor.reduce(xu) if len(xu) else np.uint64(0)
+        total_s = np.uint64(su.sum(dtype=np.uint64))
+    total_x = np.bitwise_xor.reduce(xu)
     return pd.DataFrame(
         {
-            "n_rows": [np.int64(parts["n"].sum())],
+            "n_rows": [np.int64(n_rows)],
             "sum_fp": [np.int64(total_s)],
             "xor_fp": [np.int64(total_x)],
         }
@@ -5673,21 +5660,16 @@ def q_fd_audit(sf_dir: str) -> pd.DataFrame:
     string, SQL ROW_NUMBER order). Per-batch (conv, lang) partial counts,
     ONE hash-bucket shuffle, per-bucket vectorized profile — only VIOLATORS
     leave a bucket, so output is anomaly-sized (the validation contract)."""
-    from ..stages.joins import _key_hash
-
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
-    n_buckets = 64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         conv = df["doc_id"].to_numpy(np.int64) // 10
-        c = (
+        return (
             pd.DataFrame({"conv": conv, "lang": df["lang"].to_numpy(object)})
             .groupby(["conv", "lang"], sort=False)
             .size()
             .reset_index(name="cnt")
         )
-        c["__b"] = (_key_hash(c["conv"].to_numpy()) % np.uint64(n_buckets)).astype(np.int32)
-        return c
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby(["conv", "lang"], sort=False, as_index=False)["cnt"].sum()
@@ -5709,12 +5691,9 @@ def q_fd_audit(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    out = wd.bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), "conv", per_bucket
+    ).to_pandas()
     return out.sort_values("conv").reset_index(drop=True)
 
 
@@ -5919,18 +5898,9 @@ def q_longest_run(sf_dir: str) -> pd.DataFrame:
     fully vectorized island pass per bucket (boundary flags -> cumsum run
     ids -> bincount lengths -> per-user max); the SQL replay is the classic
     two-ROW_NUMBER island trick."""
-    from ..stages.joins import _key_hash
-
     ds = rd.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
-    n_buckets = 64
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
-            np.int32
-        )
-        return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -5952,12 +5922,7 @@ def q_longest_run(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    out = wd.bucketed_map_groups(ds, "user_id", per_bucket).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -6002,11 +5967,11 @@ def q_collocations(sf_dir: str) -> pd.DataFrame:
         a = tok.codes[:-1][same].astype(np.int64)
         b = tok.codes[1:][same].astype(np.int64)
         uk, counts = np.unique(a * v + b, return_counts=True)
-        un = tok.uniques
+        un = np.asarray(tok.uniques, dtype=object)
         return pa.table(
             {
-                "wa": pa.array([un[k // v] for k in uk], pa.string()),
-                "wb": pa.array([un[k % v] for k in uk], pa.string()),
+                "wa": pa.array(un[uk // v], pa.string()),
+                "wb": pa.array(un[uk % v], pa.string()),
                 "n": pa.array(counts.astype(np.int64)),
             }
         )
@@ -6039,13 +6004,24 @@ def q_collocations(sf_dir: str) -> pd.DataFrame:
     ca = out["wa"].map(marg).to_numpy(np.int64)
     cb = out["wb"].map(marg).to_numpy(np.int64)
     c_ab = out["c_ab"].to_numpy(np.int64)
-    pmi = ((c_ab * 1_000_000 // ca) * np.int64(nu) // cb) * np.int64(nu) // np.int64(nb)
+    # Python-int chain: intermediates reach ~2e5*nu^2 and would wrap int64
+    # past nu ~ 7e6 tokens; the oracle computes the same chain in HUGEINT
+    # (the FINAL value is ~2e5*nu/nb-scale and stays BIGINT-safe). The loop
+    # runs over the c_ab>=5 heavy tail only — result-sized, not corpus-sized
+    pmi = np.fromiter(
+        (
+            ((int(a) * 1_000_000 // int(x)) * nu // int(y)) * nu // nb
+            for a, x, y in zip(c_ab, ca, cb)
+        ),
+        dtype=np.int64,
+        count=len(out),
+    )
     out = pd.DataFrame(
         {
             "wa": out["wa"].to_numpy(object),
             "wb": out["wb"].to_numpy(object),
             "c_ab": c_ab,
-            "pmi_ppm": pmi.astype(np.int64),
+            "pmi_ppm": pmi,
         }
     )
     return out.sort_values(["wa", "wb"]).reset_index(drop=True)
@@ -6061,7 +6037,8 @@ ORACLE_SQL["q_collocations"] = r"""
     bcnt AS (SELECT wa, wb, COUNT(*) AS c_ab FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5),
     tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu, (SELECT COUNT(*) FROM big) AS nb)
     SELECT wa, wb, CAST(c_ab AS BIGINT) AS c_ab,
-           CAST(((c_ab * 1000000 // ca.c) * nu // cb.c) * nu // nb AS BIGINT) AS pmi_ppm
+           CAST(((CAST(c_ab AS HUGEINT) * 1000000 // ca.c) * nu // cb.c) * nu // nb
+                AS BIGINT) AS pmi_ppm
     FROM bcnt JOIN ucnt ca ON ca.w = bcnt.wa JOIN ucnt cb ON cb.w = bcnt.wb, tot
     ORDER BY wa, wb
 """
@@ -6154,8 +6131,6 @@ def q_trailing_hour(sf_dir: str) -> pd.DataFrame:
     composite-key searchsorted kernel per bucket — frame bounds for every
     row from ONE searchsorted pair, peers-at-equal-ts included exactly as
     SQL requires."""
-    from ..stages.joins import _key_hash
-
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
 
     def prep(tbl: pa.Table) -> pa.Table:
@@ -6168,28 +6143,15 @@ def q_trailing_hour(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    n_buckets = 64
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df["__b"] = (_key_hash(df["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
-            np.int32
-        )
-        return df
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = wd.trailing_range_sum(
-            g.drop(columns="__b"), key="user_id", ts_col="us", val_col="fv",
-            window_us=3_600_000_000,
+            g, key="user_id", ts_col="us", val_col="fv", window_us=3_600_000_000
         )
         return out[["event_id", "user_id", "trail_sum"]]
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .map_batches(tag, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    out = wd.bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket
+    ).to_pandas()
     out = out.astype({"event_id": "int64", "user_id": "int64", "trail_sum": "int64"})
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -6487,6 +6449,10 @@ def q_log_compaction(sf_dir: str) -> pd.DataFrame:
     def pack(tbl: pa.Table) -> pa.Table:
         us = tbl["us"].to_numpy(zero_copy_only=False)
         eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        if ((us - base) >= 1 << 43).any():  # 43+20 bits must fit int64:
+            raise ValueError(  # the log span budget is ~101.8 days
+                "event-log span exceeds the 43-bit packing budget (~102 days)"
+            )
         packed = ((us - base) << 20) | eid
         return pa.table(
             {

@@ -277,6 +277,13 @@ def trailing_range_sum(
         d[out_col] = pd.Series(dtype="int64")
         return d
     kc = pd.factorize(d[key], use_na_sentinel=True)[0].astype(np.int64)
+    # NULL keys factorize to -1 but sort_values puts NaN last — re-order by
+    # the codes (stable, so within-key ts order survives) so the composite
+    # key array below is globally sorted even with a null-key partition
+    if (kc < 0).any():
+        order = np.argsort(kc, kind="stable")
+        d = d.iloc[order].reset_index(drop=True)
+        kc = kc[order] + 1
     us = d[ts_col].to_numpy(np.int64)
     base = us.min()
     span = us.max() - base + np.int64(window_us) + 2
@@ -287,3 +294,26 @@ def trailing_range_sum(
     hi = np.searchsorted(k, k, side="right")
     d[out_col] = (pre[hi] - pre[lo]).astype(np.int64)
     return d
+
+
+def bucketed_map_groups(ds, key: str, fn, n_buckets: int = 64):
+    """The shared per-bucket scaffold: ONE hash(key) % n_buckets shuffle,
+    then ``fn`` over each whole bucket frame (tag column already dropped).
+    Same partitioning assumption as :func:`window_over`: a key's rows fit
+    one bucket. Used by the bucket-vectorized operators (audience overlap,
+    ordered collect, FD audit, longest run, RANGE frames) so the bucket
+    count and hash live in one place."""
+    from .joins import _key_hash
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b"] = (_key_hash(df[key].to_numpy()) % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__b"))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -229,3 +229,28 @@ def test_funnel_matches_bruteforce_random(ray_session):
             reached = k + 1
         exp[u] = reached
     assert got == exp
+
+
+def test_trailing_range_sum_null_keys():
+    """NULL keys factorize to -1 while sort_values puts NaN last — the
+    kernel must re-order so the composite key stays globally sorted, or
+    every frame bound is garbage (review finding)."""
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages.windows import trailing_range_sum
+
+    df = pd.DataFrame(
+        {
+            "k": [1.0, np.nan, 1.0, np.nan, 2.0],
+            "us": np.array([0, 10, 30, 50, 20], dtype=np.int64),
+            "v": np.array([1, 2, 4, 8, 16], dtype=np.int64),
+        }
+    )
+    out = trailing_range_sum(df, key="k", ts_col="us", val_col="v", window_us=40)
+    got = {(None if pd.isna(r.k) else r.k, r.us): r.trail_sum for r in out.itertuples()}
+    # brute force: frame = same-key rows with ts in [ts-40, ts]
+    for _, r in df.iterrows():
+        same = df[(df["k"] == r["k"]) | (df["k"].isna() & pd.isna(r["k"]))]
+        frame = same[(same["us"] >= r["us"] - 40) & (same["us"] <= r["us"])]
+        key = (None if pd.isna(r["k"]) else r["k"], r["us"])
+        assert got[key] == frame["v"].sum(), key
