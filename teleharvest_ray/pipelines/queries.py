@@ -6593,18 +6593,20 @@ ORACLE_SQL["q_kanonymity_audit"] = """
 def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
     """X96: asymmetric containment scoring (Broder's containment, the
     sub-document-dedup metric resemblance misses): candidate pairs sharing
-    any word 3-gram shingle — EXHAUSTIVE shared-shingle pairing through the
+    any word 4-gram shingle — EXHAUSTIVE shared-shingle pairing through the
     one-shuffle bucket machinery, not LSH (low-Jaccard/high-containment
     pairs must not escape) — verified with exact shingle-set intersections
     (the shared X2/X4 kernel). A pair survives when inter*2 >= min(n_a,
     n_b): half the smaller doc's shingles are contained. All-integer
-    output."""
+    output. 4-gram shingles (not 3) keep the exhaustive pair set
+    candidate-sized: 3-gram buckets at sf0.1 already generate a
+    quadratic pair blow-up (measured 258 s vs 2 s)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_shingles(tbl: pa.Table) -> pa.Table:
         texts = np.asarray(tbl["text"].to_pandas(), dtype=object)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        rows, sh = dd._shingle_hashes(texts, 3)
+        rows, sh = dd._shingle_hashes(texts, 4)
         if len(rows):
             order = np.lexsort((sh, rows))
             rows, sh = rows[order], sh[order]
@@ -6630,7 +6632,7 @@ def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
     ids = np.unique(np.r_[pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])
     texts = dd.gather_texts(ds, "doc_id", "text", ids)
     id_to_text = dict(zip(texts["doc_id"], texts["text"]))
-    inter, n_a, n_b = dd._pair_shingle_intersections(pairs, id_to_text, 3)
+    inter, n_a, n_b = dd._pair_shingle_intersections(pairs, id_to_text, 4)
     out = pd.DataFrame(
         {
             "id_a": pairs["id_a"].to_numpy(np.int64),
@@ -6649,9 +6651,9 @@ def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
 QUERIES["q_containment_pairs"] = q_containment_pairs
 ORACLE_SQL["q_containment_pairs"] = """
     WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
-               WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 3),
+               WHERE text IS NOT NULL AND len(regexp_extract_all(text, '\\S+')) >= 4),
     g AS (SELECT doc_id,
-                 unnest([array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
     gd AS (SELECT DISTINCT doc_id, gram FROM g),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
