@@ -6714,6 +6714,94 @@ ORACLE_SQL["q_fanout_profile"] = """
 """
 
 
+def q_bfs_levels(sf_dir: str) -> pd.DataFrame:
+    """X98: bounded BFS reachability — shortest-path hop levels (<= 4) from
+    the smallest edge-bearing doc over the candidate near-dup graph;
+    completes the graph family (CC/PageRank/HITS/triangles/degree) with a
+    path-distance primitive. Vectorized frontier rounds over the sorted
+    adjacency (cluster.bfs_levels); the SQL replay is a bounded recursive
+    CTE with MIN(level) per node."""
+    from ..stages import cluster as cl
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    if not len(edges):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "level": pd.Series(dtype="int64")}
+        )
+    seed = int(edges["id_a"].min())
+    return cl.bfs_levels(
+        edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64), seed, max_level=4
+    )
+
+
+QUERIES["q_bfs_levels"] = q_bfs_levels
+ORACLE_SQL["q_bfs_levels"] = """
+    WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e UNION ALL SELECT id_b, id_a FROM e),
+    seed AS (SELECT MIN(id_a) AS s FROM e),
+    walk(node, lvl) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT sym.v, walk.lvl + 1 FROM walk JOIN sym ON sym.u = walk.node WHERE walk.lvl < 4
+    )
+    SELECT node AS doc_id, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """X99: degree assortativity moments — the degree-degree Pearson
+    correlation over edge endpoints (symmetrized, so var_x == var_y and the
+    coefficient is cov_num/var_x), kept as exact integer moments like
+    X46/X94. Degrees and per-edge gathers are three bincount/indexing passes
+    over the candidate edge list."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    if not len(edges):
+        return pd.DataFrame(
+            {"n": pd.Series(dtype="int64"), "cov_num": pd.Series(dtype="int64"),
+             "var_x": pd.Series(dtype="int64")}
+        )
+    a = edges["id_a"].to_numpy(np.int64)
+    b = edges["id_b"].to_numpy(np.int64)
+    nodes, deg = np.unique(np.r_[a, b], return_counts=True)
+    dx = deg[np.searchsorted(nodes, a)].astype(np.int64)
+    dy = deg[np.searchsorted(nodes, b)].astype(np.int64)
+    x = np.r_[dx, dy]
+    y = np.r_[dy, dx]
+    n = len(x)
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "cov_num": [int(n * (x * y).sum() - x.sum() * y.sum())],
+            "var_x": [int(n * (x * x).sum() - x.sum() * x.sum())],
+        }
+    ).astype("int64")
+
+
+QUERIES["q_assortativity"] = q_assortativity
+ORACLE_SQL["q_assortativity"] = (
+    _GRAM_EDGE_CTE
+    + """
+    , deg AS (SELECT node, COUNT(*) AS dg FROM
+              (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e) GROUP BY node),
+    p AS (SELECT da.dg AS x, db.dg AS y FROM e
+          JOIN deg da ON da.node = e.id_a JOIN deg db ON db.node = e.id_b),
+    sym AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+           CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS var_x
+    FROM sym
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the

@@ -744,3 +744,51 @@ def hits_local(
         auth = gather(vi, hub[ui])
         hub = gather(ui, auth[vi])
     return pd.DataFrame({"node": nodes, "hub_ppm": hub, "auth_ppm": auth})
+
+
+def bfs_levels(
+    u: np.ndarray, v: np.ndarray, seed: int, max_level: int = 4
+) -> pd.DataFrame:
+    """Shortest-path BFS levels from ``seed`` over an undirected candidate
+    edge list, bounded at ``max_level`` hops. Vectorized frontier expansion:
+    each round gathers the frontier's neighbors with one searchsorted slice
+    walk over the CSR-style sorted adjacency — no per-node Python beyond the
+    O(max_level) rounds. Candidate-sized contract as the other graph
+    kernels; the distributed form is the standard frontier-join iteration
+    (one bucketed join per round, same shape as pagerank's gather)."""
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    keep = u != v
+    src = np.concatenate([u[keep], v[keep]])
+    dst = np.concatenate([v[keep], u[keep]])
+    if not len(src):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "level": pd.Series(dtype="int64")}
+        )
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    starts = np.searchsorted(src, nodes)
+    ends = np.searchsorted(src, nodes, side="right")
+    level = {int(seed): 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for lvl in range(1, max_level + 1):
+        idx = np.searchsorted(nodes, frontier)
+        idx = idx[(idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == frontier)]
+        if not len(idx):
+            break
+        neigh = np.concatenate([dst[starts[i] : ends[i]] for i in idx])
+        neigh = np.unique(neigh)
+        new = np.array([n for n in neigh if int(n) not in level], dtype=np.int64)
+        for n in new:
+            level[int(n)] = lvl
+        frontier = new
+        if not len(frontier):
+            break
+    items = sorted(level.items())
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([k for k, _ in items], dtype=np.int64),
+            "level": np.array([x for _, x in items], dtype=np.int64),
+        }
+    )
