@@ -6802,6 +6802,73 @@ ORACLE_SQL["q_assortativity"] = (
 )
 
 
+def q_dedup_report(sf_dir: str) -> pd.DataFrame:
+    """X100: end-to-end dedup impact report — the management summary a
+    curation run publishes: per source, how many docs, how many are
+    non-canonical duplicates (cluster members that lose the min-doc_id
+    survivorship), and how many survive. Composes the X22 pipeline
+    (candidates -> connected components -> canonical flag) with a bucketed
+    join back to the source dimension and per-batch rollup partials; the
+    oracle replays the whole chain (recursive-CTE closure + rollup)."""
+    from ..stages import cluster as cl
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "source"])
+    edges = dd.gram_edges(docs.select_columns(["doc_id", "text"]), "text", "doc_id", n=4)
+    labels = cl.connected_components(edges, nodes=docs.select_columns(["doc_id"]))
+    lab = labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["node"], "cluster_id": b["cluster_id"]}),
+        batch_format="pandas",
+    )
+    j = jn.bucketed_hash_join(
+        lab, docs.select_columns(["doc_id", "source"]), on="doc_id", how="inner"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dup = (df["doc_id"].to_numpy(np.int64) != df["cluster_id"].to_numpy(np.int64)).astype(
+            np.int64
+        )
+        g = (
+            df.assign(dup=dup)
+            .groupby("source", sort=False)
+            .agg(n_docs=("doc_id", "size"), n_dup_docs=("dup", "sum"))
+        )
+        return g.reset_index()
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_dup_docs=("n_dup_docs", "sum")
+    )
+    out["n_survivors"] = out["n_docs"] - out["n_dup_docs"]
+    out["source"] = out["source"].astype(object)
+    out = out.astype({"n_docs": "int64", "n_dup_docs": "int64", "n_survivors": "int64"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["q_dedup_report"] = q_dedup_report
+ORACLE_SQL["q_dedup_report"] = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
+          FROM d),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.v AS node, reach.label AS label
+        FROM reach JOIN e ON e.u = reach.node WHERE reach.label < e.v
+    ),
+    lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(lab.node <> lab.cluster_id AS BIGINT)) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) - SUM(CAST(lab.node <> lab.cluster_id AS BIGINT)) AS BIGINT) AS n_survivors
+    FROM lab JOIN documents doc ON doc.doc_id = lab.node
+    GROUP BY doc.source ORDER BY doc.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
