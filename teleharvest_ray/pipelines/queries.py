@@ -6746,7 +6746,7 @@ ORACLE_SQL["q_bfs_levels"] = """
     sym AS (SELECT id_a AS u, id_b AS v FROM e UNION ALL SELECT id_b, id_a FROM e),
     seed AS (SELECT MIN(id_a) AS s FROM e),
     walk(node, lvl) AS (
-        SELECT s, 0 FROM seed
+        SELECT s, 0 FROM seed WHERE s IS NOT NULL
         UNION
         SELECT sym.v, walk.lvl + 1 FROM walk JOIN sym ON sym.u = walk.node WHERE walk.lvl < 4
     )
@@ -6797,7 +6797,7 @@ ORACLE_SQL["q_assortativity"] = (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
            CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS var_x
-    FROM sym
+    FROM sym HAVING COUNT(*) > 0
 """
 )
 

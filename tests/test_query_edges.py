@@ -75,6 +75,22 @@ EDGE_QUERIES = [
     "q_interarrival_hist",
     "q_decay_scores",
     "q_collect_events",
+    # the mini docs have <4-word texts, so the 4-gram candidate graph is
+    # EMPTY — these exercise the empty-graph paths end to end
+    "q_triangle_counts",
+    "q_degree_distribution",
+    "q_hits",
+    "q_bfs_levels",
+    "q_assortativity",
+    "q_dedup_report",
+    "q_containment_pairs",
+    "q_edit_distance_pairs",
+    "q_trimmed_mean",
+    "q_log_compaction",
+    "q_autocorr_daily",
+    "q_kanonymity_audit",
+    "q_trailing_hour",
+    "q_snapshot_diff",
 ]
 
 
