@@ -6869,6 +6869,66 @@ ORACLE_SQL["q_dedup_report"] = """
 """
 
 
+def q_join_cardinality(sf_dir: str) -> pd.DataFrame:
+    """X101: sketch-based join-size estimation — the query-optimizer
+    statistics primitive: |orders JOIN customer| estimated by the Count-Min
+    INNER PRODUCT (min over rows of the two sides' table dot products,
+    Cormode & Muthukrishnan 2005 §4.2: >= exact STRUCTURALLY — every
+    colliding cell only adds non-negative cross terms — and overcounts by
+    <= (e/w)·Na·Nb per row in expectation). Per-batch partial sketches per
+    side (KBs); the exact size comes from per-key Count aggregates joined
+    key-domain-sized — the join itself is never materialized anywhere.
+    Certificate oracle (X63 pattern): exact COUNT + both bounds pinned."""
+    d, w = 4, 8192
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+
+    def sketch_col(col: str):
+        def sk(tbl: pa.Table) -> pa.Table:
+            c = CountMinSketch(d=d, w=w)
+            c.update_ints(tbl[col].to_numpy(zero_copy_only=False))
+            return pa.table({"blob": pa.array([c.to_bytes()], pa.binary())})
+
+        return sk
+
+    def merged(ds, col: str) -> CountMinSketch:
+        out = CountMinSketch(d=d, w=w)
+        for b in ds.map_batches(sketch_col(col), batch_format="pyarrow").to_pandas()["blob"]:
+            out.merge(CountMinSketch.from_bytes(b))
+        return out
+
+    so = merged(orders, "o_custkey")
+    sc = merged(cust, "c_custkey")
+    est = min(int(so.table[r] @ sc.table[r]) for r in range(d))
+    na = int(so.table[0].sum())
+    nb = int(sc.table[0].sum())
+    co = orders.groupby("o_custkey").aggregate(Count(alias_name="n_o"))
+    cc = cust.groupby("c_custkey").aggregate(Count(alias_name="n_c"))
+    cc = cc.map_batches(
+        lambda b: pd.DataFrame({"o_custkey": b["c_custkey"], "n_c": b["n_c"]}),
+        batch_format="pandas",
+    )
+    j = jn.bucketed_hash_join(co, cc, on="o_custkey", how="inner").to_pandas()
+    exact = int((j["n_o"].to_numpy(np.int64) * j["n_c"].to_numpy(np.int64)).sum())
+    bound = int(np.ceil(np.e / w * na * nb))
+    return pd.DataFrame(
+        {
+            "exact_n": [exact],
+            "est_ge_exact": [int(est >= exact)],
+            "within_bound": [int(est - exact <= bound)],
+        }
+    ).astype("int64")
+
+
+QUERIES["q_join_cardinality"] = q_join_cardinality
+ORACLE_SQL["q_join_cardinality"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_n,
+           CAST(1 AS BIGINT) AS est_ge_exact,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver-record rotation (round 4): the driver's CORRECTNESS file records the
 # FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
