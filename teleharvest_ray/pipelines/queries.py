@@ -6671,14 +6671,20 @@ def q_fanout_profile(sf_dir: str) -> pd.DataFrame:
     """X97: referential fan-out profile — the 1:N cardinality histogram of
     orders-per-customer, INCLUDING the zero bucket (dimension-complete, the
     LEFT JOIN semantics a referential validator needs to spot dangling
-    dimension rows). One fact-side Count aggregate, per-batch bincount
-    partials over the count column, and the zero bucket from two scalar
-    counts — the fact table is never joined or collected."""
+    dimension rows). One fact-side Count aggregate, then a bucketed
+    SEMI-join of the key-domain-sized counts against the customer keys —
+    a dangling o_custkey (fact key with no dimension row) is EXCLUDED, as
+    the oracle's LEFT JOIN from customer is (edge-tested with a planted
+    dangling key); per-batch bincount partials over the count column, and
+    the zero bucket from two scalar counts — the fact table itself is
+    never joined or collected."""
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
     per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
-    per_cust = per_cust.materialize()
-    n_with = per_cust.count()
+    cust_keys = cust.map_batches(
+        lambda b: pd.DataFrame({"o_custkey": b["c_custkey"]}), batch_format="pandas"
+    )
+    matched = jn.bucketed_hash_join(per_cust, cust_keys, on="o_custkey", how="inner")
     n_total = cust.count()
 
     def partial(tbl: pa.Table) -> pa.Table:
@@ -6692,8 +6698,9 @@ def q_fanout_profile(sf_dir: str) -> pd.DataFrame:
             {"n_orders": pa.array(u), "n_customers": pa.array(cnt.astype(np.int64))}
         )
 
-    parts = per_cust.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = matched.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    n_with = int(out["n_customers"].sum()) if len(out) else 0
     zeros = int(n_total - n_with)
     if zeros > 0:
         out = pd.concat(
@@ -6878,7 +6885,25 @@ def q_join_cardinality(sf_dir: str) -> pd.DataFrame:
     <= (e/w)·Na·Nb per row in expectation). Per-batch partial sketches per
     side (KBs); the exact size comes from per-key Count aggregates joined
     key-domain-sized — the join itself is never materialized anywhere.
-    Certificate oracle (X63 pattern): exact COUNT + both bounds pinned."""
+
+    Certificate oracle (X63 pattern) pins only the UNCONDITIONAL facts:
+    the exact COUNT and est >= exact (structural). The (e/w)*Na*Nb
+    overcount bound is a Markov/expectation bound (per-row failure prob up
+    to 1/e, ~e^-4 after the min over d=4 rows), NOT deterministic — so it
+    is asserted empirically on the fixed testdata in tests
+    (tests/test_advice_edges.py) rather than pinned in the oracle, where a
+    legal key distribution could fail a correct engine."""
+    est, exact, _bound = _join_cardinality_raw(sf_dir)
+    return pd.DataFrame(
+        {
+            "exact_n": [exact],
+            "est_ge_exact": [int(est >= exact)],
+        }
+    ).astype("int64")
+
+
+def _join_cardinality_raw(sf_dir: str) -> tuple[int, int, int]:
+    """(estimate, exact, ceil((e/w)*Na*Nb) bound) for |orders JOIN customer|."""
     d, w = 4, 8192
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
@@ -6911,29 +6936,32 @@ def q_join_cardinality(sf_dir: str) -> pd.DataFrame:
     j = jn.bucketed_hash_join(co, cc, on="o_custkey", how="inner").to_pandas()
     exact = int((j["n_o"].to_numpy(np.int64) * j["n_c"].to_numpy(np.int64)).sum())
     bound = int(np.ceil(np.e / w * na * nb))
-    return pd.DataFrame(
-        {
-            "exact_n": [exact],
-            "est_ge_exact": [int(est >= exact)],
-            "within_bound": [int(est - exact <= bound)],
-        }
-    ).astype("int64")
+    return est, exact, bound
 
 
 QUERIES["q_join_cardinality"] = q_join_cardinality
 ORACLE_SQL["q_join_cardinality"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS exact_n,
-           CAST(1 AS BIGINT) AS est_ge_exact,
-           CAST(1 AS BIGINT) AS within_bound
+           CAST(1 AS BIGINT) AS est_ge_exact
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
 def _roundtrip_fingerprint(ds) -> pd.DataFrame:
     """Order-independent content checksum of a (doc_id, text) Dataset —
-    the X79 combiners, reused to certify alternate-format ingestion."""
+    the X79 combiners, reused to certify alternate-format ingestion.
+
+    The text column is cast to string first: a CSV/JSONL shard written from
+    an all-null (hence filtered-to-empty) block is header-only and reads
+    back with a NULL-typed text column, which the string kernels reject."""
 
     def partial(tbl: pa.Table) -> pa.Table:
+        if not pa.types.is_string(tbl.schema.field("text").type):
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("text"),
+                "text",
+                pc.cast(tbl["text"], pa.string()),
+            )
         tbl = tbl.filter(pc.is_valid(tbl["text"]))
         fp = ta.fingerprint64(tbl)["fingerprint"].to_numpy(zero_copy_only=False)
         u = fp.astype(np.int64).view(np.uint64)
@@ -6949,14 +6977,23 @@ def _roundtrip_fingerprint(ds) -> pd.DataFrame:
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_rows = int(parts["n"].sum()) if len(parts) else 0
+    if n_rows == 0:  # all-null-text table: the oracle's base CTE is empty
+        return pd.DataFrame(  # and yields ZERO rows (q_table_fingerprint branch)
+            {
+                "n_rows": pd.Series(dtype="int64"),
+                "sum_fp": pd.Series(dtype="int64"),
+                "xor_fp": pd.Series(dtype="int64"),
+            }
+        )
     su = parts["s"].to_numpy(np.int64).view(np.uint64)
     xu = parts["x"].to_numpy(np.int64).view(np.uint64)
     with np.errstate(over="ignore"):
-        total_s = np.uint64(su.sum(dtype=np.uint64)) if len(su) else np.uint64(0)
-    total_x = np.bitwise_xor.reduce(xu) if len(xu) else np.uint64(0)
+        total_s = np.uint64(su.sum(dtype=np.uint64))
+    total_x = np.bitwise_xor.reduce(xu)
     return pd.DataFrame(
         {
-            "n_rows": [np.int64(parts["n"].sum())],
+            "n_rows": [np.int64(n_rows)],
             "sum_fp": [np.int64(total_s)],
             "xor_fp": [np.int64(total_x)],
         }
@@ -6969,14 +7006,34 @@ def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
     here), re-ingests it with ``ray.data.read_csv``, and proves content
     equality by matching the X79 order-independent fingerprint of the
     ROUND-TRIPPED data against the oracle's fingerprint of the PARQUET
-    originals — a full ingest-path certificate, not a row count."""
+    originals — a full ingest-path certificate, not a row count.
+
+    NULL vs '' is made lossless by quoting discipline: the writer quotes
+    every VALID string (``quoting_style="all_valid"``) so NULL is the only
+    bare empty field, and the reader maps only UNQUOTED empties back to
+    NULL (``strings_can_be_null=True, quoted_strings_can_be_null=False``) —
+    so null-text and empty-text docs both survive the trip (edge-tested
+    with both planted, tests/test_advice_edges.py)."""
     base = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(_OUT_ROOT, f"csv_rt_{base}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    ds.write_csv(out)
-    back = rd.read_csv(out)
+
+    def _wargs():  # WriteOptions isn't picklable; build it on the worker
+        import pyarrow.csv as pacsv
+
+        return {"write_options": pacsv.WriteOptions(quoting_style="all_valid")}
+
+    ds.write_csv(out, arrow_csv_args_fn=_wargs)
+    import pyarrow.csv as pacsv
+
+    back = rd.read_csv(
+        out,
+        convert_options=pacsv.ConvertOptions(
+            strings_can_be_null=True, quoted_strings_can_be_null=False
+        ),
+    )
     return _roundtrip_fingerprint(back)
 
 
@@ -7003,73 +7060,71 @@ ORACLE_SQL["q_jsonl_roundtrip"] = ORACLE_SQL["q_table_fingerprint"]
 
 
 # ---------------------------------------------------------------------------
-# driver-record rotation (round 4): the driver's CORRECTNESS file records the
-# FIRST 50 entries of this dict. Rounds 1-3 recorded 52 distinct keys; the
-# dict is reordered so the still-unrecorded ORACLE-BACKED queries plus the
-# round-4 additions (q_validate_violations, the newly oracle-backed
-# q_simhash_pairs, q_lang_id_accuracy, q_skew_join_left) occupy the first 50
-# slots — the union of driver files across rounds then covers every
-# oracle-backed entry. The two rows-only entries still unrecorded
-# (q_quarantine_export, q_schema_report — manifest/layout-checked in tests/)
-# rotate in next round. See README "Driver-record rotation".
+# driver-record rotation (round 5): the driver's CORRECTNESS file records the
+# FIRST 50 entries of this dict. The union of CORRECTNESS_r{1..4}.json covers
+# 101 of the 151 surface entries; the 50 never-recorded entries (48
+# oracle-backed round-4 additions + the 2 rows-only manifest-checked exports)
+# fit exactly in one window, so this round fronts all of them — after this
+# round the r1–r5 union records EVERY entry on the surface. See README
+# "Driver-record rotation".
 # ---------------------------------------------------------------------------
 
-_ROUND4_FRONT = [
-    "q_validate_violations",
-    "q_simhash_pairs",
-    "q_asof_join",
-    "q_range_join",
-    "q_running_total",
-    "q_decontaminate",
-    "q_repetition_filter",
-    "q_dedup_clusters",
-    "q_bm25",
-    "q_stratified_sample",
-    "q_top_per_group",
-    "q_mode_by_group",
-    "q_burst_events",
-    "q_temperature_sample",
-    "q_lang_id_accuracy",
-    "q_sorted_ranks",
-    "q_group_distinct_hll",
-    "q_prepare_corpus",
-    "q_incremental_dedup",
-    "q_shared_spans",
-    "q_ntile_bins",
-    "q_zorder_ranks",
-    "q_weighted_sample",
-    "q_epoch_shuffle",
-    "q_domain_checks",
-    "q_null_report",
-    "q_skew_join_left",
-    "q_kll_quantile_by_type",
-    "q_rollup_pricing",
-    "q_pivot_event_quarters",
-    "q_set_ops",
-    "q_cube_order_status",
-    "q_join_full_outer",
-    "q_bloom_join",
-    "q_skew_join",
-    "q_corr_by_group",
-    "q_kmeans",
-    "q_funnel_stages",
-    "q_gini_by_group",
-    "q_mad_by_lang",
-    "q_bigram_counts",
-    "q_tfidf_top_terms",
-    "q_iqr_outliers",
-    "q_unpivot_metrics",
-    "q_retention_cohorts",
-    "q_event_paths",
-    "q_asof_forward",
-    "q_dedup_survivors",
-    "q_minmax_norm",
-    "q_events_hourly",
+_ROUND5_FRONT = [
+    "q_window_funcs",
+    "q_percent_rank",
+    "q_validate_annotated",
+    "q_validate_partition_report",
+    "q_dup_ngram_frac",
+    "q_oov_ratio",
+    "q_cms_user_counts",
+    "q_props_stats",
+    "q_trend_by_type",
+    "q_pagerank",
+    "q_ppm_decode",
+    "q_edit_distance_pairs",
+    "q_triangle_counts",
+    "q_role_alternation",
+    "q_markov_transitions",
+    "q_decay_scores",
+    "q_phrase_search",
+    "q_audience_overlap",
+    "q_interarrival_hist",
+    "q_collect_events",
+    "q_vocab_spectrum",
+    "q_degree_distribution",
+    "q_hits",
+    "q_table_fingerprint",
+    "q_fd_audit",
+    "q_pareto_front",
+    "q_snapshot_diff",
+    "q_embedding_profile",
+    "q_longest_run",
+    "q_collocations",
+    "q_checksum_by_shard",
+    "q_trailing_hour",
+    "q_mannwhitney_u",
+    "q_ks_exact",
+    "q_dwell_time",
+    "q_charset_profile",
+    "q_trimmed_mean",
+    "q_log_compaction",
+    "q_autocorr_daily",
+    "q_kanonymity_audit",
+    "q_containment_pairs",
+    "q_fanout_profile",
+    "q_bfs_levels",
+    "q_assortativity",
+    "q_dedup_report",
+    "q_join_cardinality",
+    "q_csv_roundtrip",
+    "q_jsonl_roundtrip",
+    "q_quarantine_export",
+    "q_schema_report",
 ]
 
 
 def _rotate_queries() -> None:
-    front = [k for k in _ROUND4_FRONT if k in QUERIES]
+    front = [k for k in _ROUND5_FRONT if k in QUERIES]
     rest = [k for k in QUERIES if k not in front]
     ordered = {k: QUERIES[k] for k in [*front, *rest]}
     QUERIES.clear()

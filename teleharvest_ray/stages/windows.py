@@ -287,6 +287,15 @@ def trailing_range_sum(
     us = d[ts_col].to_numpy(np.int64)
     base = us.min()
     span = us.max() - base + np.int64(window_us) + 2
+    # composite-key packing budget: (max code + 1) * span must fit int64 or
+    # every frame bound silently corrupts (q_log_compaction's assert pattern)
+    n_codes = int(kc.max()) + 1
+    if n_codes * int(span) > np.iinfo(np.int64).max:
+        raise ValueError(
+            f"trailing_range_sum composite key overflows int64: "
+            f"{n_codes} keys x span {int(span)}us — split the bucket or "
+            f"shrink the time domain"
+        )
     k = kc * span + (us - base)
     v = d[val_col].to_numpy(np.int64)
     pre = np.r_[0, np.cumsum(v)]

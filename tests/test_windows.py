@@ -254,3 +254,20 @@ def test_trailing_range_sum_null_keys():
         frame = same[(same["us"] >= r["us"] - 40) & (same["us"] <= r["us"])]
         key = (None if pd.isna(r["k"]) else r["k"], r["us"])
         assert got[key] == frame["v"].sum(), key
+
+
+def test_trailing_range_sum_overflow_guard():
+    """(max code + 1) * span past int64 must raise, not silently corrupt."""
+    from teleharvest_ray.stages.windows import trailing_range_sum
+
+    n = 40_000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "us": np.array([0] * (n - 1) + [2**50], dtype=np.int64),
+            "v": np.ones(n, dtype=np.int64),
+        }
+    )
+    # span ~ 2^51, 40k keys -> composite max ~ 9e19 > int64 max
+    with pytest.raises(ValueError, match="overflows int64"):
+        trailing_range_sum(df, key="k", ts_col="us", val_col="v", window_us=2**50)
