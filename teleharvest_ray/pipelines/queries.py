@@ -2389,8 +2389,11 @@ ORACLE_SQL["q_dedup_clusters"] = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS u, b.doc_id AS v
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id <> b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2),
     -- min-label reachability: a label only needs to propagate while it is
     -- smaller than the receiving node (the component minimum satisfies this
     -- on every hop), which keeps the closure linear in practice
@@ -4466,8 +4469,11 @@ ORACLE_SQL["q_dedup_survivors"] = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS u, b.doc_id AS v
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id <> b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2),
     reach AS (
         SELECT doc_id AS node, doc_id AS label FROM documents
         UNION
@@ -4858,12 +4864,10 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     from ..stages import cluster as cl
 
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    # cap=2**31: the oracle's gram self-join is UNCAPPED, and PageRank (unlike
-    # the CC dedup queries) is sensitive to every dropped edge, so the default
-    # per-gram pair cap would be a silent oracle divergence once any gram is
-    # shared by >cap docs. Production at corpus scale would keep the cap (a
-    # capped candidate graph) and forgo exact SQL parity.
-    edges = dd.gram_edges(docs, "text", "doc_id", n=4, cap=2**31)
+    # the per-gram pair cap (dedup.GRAM_CAP) is ACTIVE here and mirrored in
+    # the oracle's rank filter (gc.rn <= 2000), so the capped candidate graph
+    # stays SQL-exact even when a degenerate gram exceeds the cap
+    edges = dd.gram_edges(docs, "text", "doc_id", n=4)
     ranks = cl.pagerank(edges, nodes=docs.select_columns(["doc_id"]), iters=3)
     out = ranks.to_pandas().rename(columns={"node": "doc_id"}).astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -5007,8 +5011,11 @@ ORACLE_SQL["q_pagerank"] = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS u, b.doc_id AS v
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id <> b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2),
     deg AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY u),
     r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
     s1 AS (SELECT e.v AS node, SUM(r0.r // deg.dg) AS s
@@ -5052,8 +5059,11 @@ _GRAM_EDGE_CTE = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id < b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2)
 """
 
 
@@ -5069,7 +5079,7 @@ def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
     work is CANDIDATE-sized (~64 word ops each), same contract as
     dedup.verify_pairs_jaccard."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    pairs = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    pairs = dd.gram_edges(ds, "text", "doc_id", n=4)
     empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype="int64"),
@@ -5121,7 +5131,7 @@ def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
     from ..stages import cluster as cl
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4)
     out = cl.triangle_counts(edges).rename(columns={"node": "doc_id"})
     return (
         out.sort_values("doc_id")
@@ -5516,7 +5526,7 @@ def q_degree_distribution(sf_dir: str) -> pd.DataFrame:
     candidate-sized (gram_edges contract); degrees and the count-of-degrees
     histogram are two bincounts."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4)
     empty = pd.DataFrame(
         {"degree": pd.Series(dtype="int64"), "n_nodes": pd.Series(dtype="int64")}
     )
@@ -5553,7 +5563,7 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
     from ..stages import cluster as cl
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4)
     out = cl.hits_local(
         edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64), iters=2
     ).rename(columns={"node": "doc_id"})
@@ -6593,9 +6603,11 @@ ORACLE_SQL["q_kanonymity_audit"] = """
 def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
     """X96: asymmetric containment scoring (Broder's containment, the
     sub-document-dedup metric resemblance misses): candidate pairs sharing
-    any word 4-gram shingle — EXHAUSTIVE shared-shingle pairing through the
+    any word 4-gram shingle — exhaustive shared-shingle pairing through the
     one-shuffle bucket machinery, not LSH (low-Jaccard/high-containment
-    pairs must not escape) — verified with exact shingle-set intersections
+    pairs must not escape), bounded only by the per-shingle rank cap
+    (dedup.GRAM_CAP, mirrored in the oracle's cand CTE so capped runs stay
+    SQL-exact) — verified with exact shingle-set intersections
     (the shared X2/X4 kernel). A pair survives when inter*2 >= min(n_a,
     n_b): half the smaller doc's shingles are contained. All-integer
     output. 4-gram shingles (not 3) keep the exhaustive pair set
@@ -6617,7 +6629,7 @@ def q_containment_pairs(sf_dir: str) -> pd.DataFrame:
         )
 
     grams = ds.map_batches(to_shingles, batch_format="pyarrow")
-    pairs = dd._bucket_pairs_distributed(grams, ["bh"], "doc_id", cap=2**31)
+    pairs = dd._bucket_pairs_distributed(grams, ["bh"], "doc_id")
     empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype="int64"),
@@ -6657,8 +6669,19 @@ ORACLE_SQL["q_containment_pairs"] = """
           FROM d),
     gd AS (SELECT DISTINCT doc_id, gram FROM g),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
+    -- candidate ADMISSION mirrors the engine's per-shingle rank cap
+    -- (dedup.GRAM_CAP); the intersection count below stays exact over the
+    -- FULL shingle sets, exactly as the engine re-verifies from the texts
+    gr AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM gd),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM gr a JOIN gr b USING (gram)
+             WHERE a.doc_id < b.doc_id AND a.rn <= 2000 AND b.rn <= 2000
+             GROUP BY 1, 2),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-              FROM gd a JOIN gd b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+              FROM gd a JOIN gd b USING (gram)
+              JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -6731,7 +6754,7 @@ def q_bfs_levels(sf_dir: str) -> pd.DataFrame:
     from ..stages import cluster as cl
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4)
     if not len(edges):
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "level": pd.Series(dtype="int64")}
@@ -6748,8 +6771,11 @@ ORACLE_SQL["q_bfs_levels"] = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id < b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2),
     sym AS (SELECT id_a AS u, id_b AS v FROM e UNION ALL SELECT id_b, id_a FROM e),
     seed AS (SELECT MIN(id_a) AS s FROM e),
     walk(node, lvl) AS (
@@ -6769,7 +6795,7 @@ def q_assortativity(sf_dir: str) -> pd.DataFrame:
     X46/X94. Degrees and per-edge gathers are three bincount/indexing passes
     over the candidate edge list."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    edges = dd.gram_edges(ds, "text", "doc_id", n=4, cap=2**31)
+    edges = dd.gram_edges(ds, "text", "doc_id", n=4)
     if not len(edges):
         return pd.DataFrame(
             {"n": pd.Series(dtype="int64"), "cov_num": pd.Series(dtype="int64"),
@@ -6858,8 +6884,11 @@ ORACLE_SQL["q_dedup_report"] = """
     g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(ws[i:i+3], ' ') FOR i IN generate_series(1, len(ws) - 3)]) AS gram
           FROM d),
+    gc AS (SELECT doc_id, gram,
+                  ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) AS rn FROM g),
     e AS (SELECT a.doc_id AS u, b.doc_id AS v
-          FROM g a JOIN g b USING (gram) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+          FROM gc a JOIN gc b USING (gram)
+          WHERE a.doc_id <> b.doc_id AND a.rn <= 2000 AND b.rn <= 2000 GROUP BY 1, 2),
     reach AS (
         SELECT doc_id AS node, doc_id AS label FROM documents
         UNION

@@ -262,13 +262,23 @@ def _bucket_pairs_distributed(
     return pdf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
+#: per-gram participant cap (the standard LSH-bucket cap): inside each gram
+#: bucket only the first GRAM_CAP ids (ascending) pair, bounding a
+#: degenerate gram shared by 10^5 docs to GRAM_CAP^2/2 pairs instead of
+#: 10^10. The graph-analytics oracle SQL mirrors the SAME rank filter
+#: (ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id) <= 2000), so the
+#: engine/oracle pair sets agree even past the cap (tests/test_gram_cap.py
+#: plants a degenerate gram and proves it at a tiny cap).
+GRAM_CAP = 2000
+
+
 def gram_edges(
     ds: Dataset,
     text_col: str,
     id_col: str,
     n: int = 4,
     n_parts: int = 32,
-    cap: int = 2000,
+    cap: int = GRAM_CAP,
 ) -> pd.DataFrame:
     """Candidate duplicate edges: distinct doc pairs (id_a < id_b) sharing
     at least one word ``n``-gram. Single-space tokenization (SQL
@@ -278,8 +288,9 @@ def gram_edges(
     MinHash banding — ONE groupby shuffle of (gram_hash, id) rows above the
     local threshold, only the candidate pair set reaches the driver.
 
-    ``cap`` bounds pairs from degenerate grams shared by thousands of docs
-    (the standard LSH-bucket cap); oracles at test scale never hit it."""
+    ``cap`` (:data:`GRAM_CAP`) bounds pairs from degenerate grams shared by
+    thousands of docs; the gram-graph oracles apply the identical per-gram
+    rank filter in SQL, so capped runs stay oracle-exact."""
 
     def to_grams(tbl: pa.Table) -> pa.Table:
         texts = np.asarray(tbl[text_col].to_pandas(), dtype=object)
