@@ -5132,7 +5132,12 @@ def q_triangle_counts(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     edges = dd.gram_edges(ds, "text", "doc_id", n=4)
-    out = cl.triangle_counts(edges).rename(columns={"node": "doc_id"})
+    out = cl.triangles(edges).to_pandas()
+    if not len(out):  # Ray drops empty-frame schemas through to_pandas
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
+        )
+    out = out.rename(columns={"node": "doc_id"})
     return (
         out.sort_values("doc_id")
         .reset_index(drop=True)
@@ -5564,9 +5569,16 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     edges = dd.gram_edges(ds, "text", "doc_id", n=4)
-    out = cl.hits_local(
-        edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64), iters=2
-    ).rename(columns={"node": "doc_id"})
+    out = cl.hits(edges, iters=2).to_pandas()
+    if not len(out):  # Ray drops empty-frame schemas through to_pandas
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "hub_ppm": pd.Series(dtype="int64"),
+                "auth_ppm": pd.Series(dtype="int64"),
+            }
+        )
+    out = out.rename(columns={"node": "doc_id"})
     return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
 
 
@@ -6760,8 +6772,11 @@ def q_bfs_levels(sf_dir: str) -> pd.DataFrame:
             {"doc_id": pd.Series(dtype="int64"), "level": pd.Series(dtype="int64")}
         )
     seed = int(edges["id_a"].min())
-    return cl.bfs_levels(
-        edges["id_a"].to_numpy(np.int64), edges["id_b"].to_numpy(np.int64), seed, max_level=4
+    out = cl.bfs(edges, seed, max_level=4).to_pandas()
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "level": "int64"})
     )
 
 

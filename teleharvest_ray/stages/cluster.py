@@ -674,9 +674,9 @@ def triangle_counts(edges: pd.DataFrame, u: str = "id_a", v: str = "id_b") -> pd
     Scale contract (same as :func:`pagerank_local`): the input is a
     CANDIDATE edge set — anomaly-sized by the banding/bucketing that
     produced it, never corpus-sized. Wedge fan-out is bounded by
-    sum(deg+^2); a hot node beyond that budget needs the distributed
-    degeneracy-ordered variant (bucket by low endpoint, same two merges per
-    bucket), which this kernel's merge structure maps onto directly."""
+    sum(deg+^2); a hot node beyond that budget dispatches to the
+    distributed degeneracy-ordered variant — :func:`triangles` above its
+    edge threshold (equivalence-tested at threshold 0)."""
     a = np.asarray(edges[u], dtype=np.int64)
     b = np.asarray(edges[v], dtype=np.int64)
     lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -712,8 +712,9 @@ def hits_local(
     is bit-identical). Per-iteration gathers are exact int64 pandas
     groupby-sums — no float accumulation at any width. Same scale contract
     as :func:`pagerank_local`: candidate-sized edges; the distributed
-    mapping is the PageRank one (bucketed join + carrier-union aggregate
-    per half-iteration)."""
+    path is :func:`hits` above its edge threshold (the PageRank bucketed
+    join + carrier-union gather per half-iteration, equivalence-tested at
+    threshold 0)."""
     u = np.asarray(u, dtype=np.int64)
     v = np.asarray(v, dtype=np.int64)
     keep = u != v
@@ -754,8 +755,9 @@ def bfs_levels(
     each round gathers the frontier's neighbors with one searchsorted slice
     walk over the CSR-style sorted adjacency — no per-node Python beyond the
     O(max_level) rounds. Candidate-sized contract as the other graph
-    kernels; the distributed form is the standard frontier-join iteration
-    (one bucketed join per round, same shape as pagerank's gather)."""
+    kernels; the distributed form is :func:`bfs` above its edge threshold
+    (one bucketed frontier join per round, equivalence-tested at
+    threshold 0)."""
     u = np.asarray(u, dtype=np.int64)
     v = np.asarray(v, dtype=np.int64)
     keep = u != v
@@ -770,25 +772,439 @@ def bfs_levels(
     nodes = np.unique(src)
     starts = np.searchsorted(src, nodes)
     ends = np.searchsorted(src, nodes, side="right")
-    level = {int(seed): 0}
-    frontier = np.array([seed], dtype=np.int64)
+    # sorted-array membership throughout — no per-node dict/list Python
+    visited = np.array([seed], dtype=np.int64)
+    found: list[np.ndarray] = [visited]
+    levels: list[np.ndarray] = [np.zeros(1, dtype=np.int64)]
+    frontier = visited
     for lvl in range(1, max_level + 1):
         idx = np.searchsorted(nodes, frontier)
         idx = idx[(idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == frontier)]
         if not len(idx):
             break
-        neigh = np.concatenate([dst[starts[i] : ends[i]] for i in idx])
-        neigh = np.unique(neigh)
-        new = np.array([n for n in neigh if int(n) not in level], dtype=np.int64)
-        for n in new:
-            level[int(n)] = lvl
-        frontier = new
-        if not len(frontier):
+        # vectorized multi-slice gather over the CSR adjacency
+        cnt = ends[idx] - starts[idx]
+        total = int(cnt.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        neigh = np.unique(dst[np.repeat(starts[idx], cnt) + offs])
+        pos = np.searchsorted(visited, neigh)
+        known = (pos < len(visited)) & (
+            visited[np.minimum(pos, len(visited) - 1)] == neigh
+        )
+        new = neigh[~known]
+        if not len(new):
             break
-    items = sorted(level.items())
+        visited = np.union1d(visited, new)
+        found.append(new)
+        levels.append(np.full(len(new), lvl, dtype=np.int64))
+        frontier = new
+    out_nodes = np.concatenate(found)
+    out_levels = np.concatenate(levels)
+    order = np.argsort(out_nodes, kind="stable")
     return pd.DataFrame(
         {
-            "doc_id": np.array([k for k, _ in items], dtype=np.int64),
-            "level": np.array([x for _, x in items], dtype=np.int64),
+            "doc_id": out_nodes[order],
+            "level": out_levels[order],
         }
     )
+
+
+def hits(
+    edges: pd.DataFrame | Dataset,
+    u: str = "id_a",
+    v: str = "id_b",
+    iters: int = 2,
+    edge_threshold: int = _LOCAL_PR_EDGES,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Size-dispatched HITS; returns a Dataset ``(node, hub_ppm, auth_ppm)``
+    bit-identical to :func:`hits_local` (equivalence-tested at threshold 0).
+
+    Distributed path (above ``edge_threshold`` edges): the PageRank gather
+    shape per half-step — ONE bucketed hash join (edges x per-node scores)
+    plus ONE groupby-aggregate where contribution rows union the state
+    carrier rows, ``Sum`` gathering inbound mass and ``Max`` re-attaching
+    the untouched score (sound because scores are >= 0 and each node
+    carries exactly one carrier row). The ppm renormalization divisor is
+    the ONLY scalar that reaches the driver per half-step."""
+    if isinstance(edges, Dataset):
+        if edges.count() < edge_threshold:
+            df = edges.to_pandas()
+            return rd.from_pandas(
+                hits_local(df[u].to_numpy(np.int64), df[v].to_numpy(np.int64), iters)
+            )
+        return _hits_rounds(edges, u, v, iters, n_buckets)
+    if len(edges) < edge_threshold:
+        return rd.from_pandas(
+            hits_local(edges[u].to_numpy(np.int64), edges[v].to_numpy(np.int64), iters)
+        )
+    return _hits_rounds(rd.from_pandas(edges), u, v, iters, n_buckets)
+
+
+def _hits_rounds(
+    edges: Dataset, u: str, v: str, iters: int, n_buckets: int | None
+) -> Dataset:
+    """Distributed HITS core (see :func:`hits`)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def clean(b: pd.DataFrame, uu: str = u, vv: str = v) -> pd.DataFrame:
+        a_ = b[uu].to_numpy(np.int64)
+        b_ = b[vv].to_numpy(np.int64)
+        keep = a_ != b_
+        return pd.DataFrame({"src": a_[keep], "dst": b_[keep]})
+
+    dir_edges = (
+        edges.map_batches(clean, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .materialize()
+    )
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, dir_edges.count() // 250_000 + 1)))
+    nodes = (
+        dir_edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": np.unique(
+                        np.r_[
+                            b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)
+                        ]
+                    )
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+    state = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "hub": np.int64(1_000_000),
+                "auth": np.int64(0),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def half(state: Dataset, join_on: str, emit_col: str, val_col: str, out_col: str) -> Dataset:
+        contrib = state.map_batches(
+            lambda b, jo=join_on, vc=val_col: pd.DataFrame(
+                {jo: b["node"], "c": b[vc]}
+            ),
+            batch_format="pandas",
+        )
+        sent = jn.bucketed_hash_join(
+            dir_edges, contrib, on=join_on, n_buckets=n_buckets
+        ).map_batches(
+            lambda b, ec=emit_col: pd.DataFrame(
+                {
+                    "node": b[ec].astype("int64"),
+                    "c": b["c"].astype("int64"),
+                    "hub": np.int64(0),
+                    "auth": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+        )
+        carrier = state.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "c": np.int64(0), "hub": b["hub"], "auth": b["auth"]}
+            ),
+            batch_format="pandas",
+        )
+        gathered = (
+            sent.union(carrier)
+            .groupby("node")
+            .aggregate(
+                Sum("c", alias_name="s"),
+                Max("hub", alias_name="hub"),
+                Max("auth", alias_name="auth"),
+            )
+        ).materialize()
+        mx = max(int(gathered.max("s")), 1)
+
+        def upd(b: pd.DataFrame, m: int = mx, oc: str = out_col) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "hub": b["hub"].astype("int64"),
+                    "auth": b["auth"].astype("int64"),
+                }
+            )
+            out[oc] = b["s"].to_numpy(np.int64) * 1_000_000 // m
+            return out
+
+        return gathered.map_batches(upd, batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        state = half(state, "src", "dst", "hub", "auth")
+        state = half(state, "dst", "src", "auth", "hub")
+    return state.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "hub_ppm": b["hub"], "auth_ppm": b["auth"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def triangles(
+    edges: pd.DataFrame | Dataset,
+    u: str = "id_a",
+    v: str = "id_b",
+    edge_threshold: int = _LOCAL_PR_EDGES,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Size-dispatched exact per-node triangle counts; returns a Dataset
+    ``(node, n_triangles)`` equal to :func:`triangle_counts`
+    (equivalence-tested at threshold 0).
+
+    Distributed path: degeneracy-ordered wedge-close. Edges orient from the
+    lower (deg, node) endpoint to the higher — so a hot node's wedge
+    fan-out is bounded by its LOW-rank out-degree, the standard hot-node
+    defense — wedges generate per-src bucket with a segmented vectorized
+    pair walk, and close with ONE bucketed hash join against the oriented
+    edge set on a packed (b, c) key (node ids must fit 31 bits; asserted).
+    Each triangle is produced exactly once (its two lowest-rank corners
+    form the wedge), so per-node counts are bincount partials + one
+    groupby-sum."""
+    if isinstance(edges, Dataset):
+        if edges.count() < edge_threshold:
+            return rd.from_pandas(triangle_counts(edges.to_pandas(), u, v))
+        return _triangle_rounds(edges, u, v, n_buckets)
+    if len(edges) < edge_threshold:
+        return rd.from_pandas(triangle_counts(edges, u, v))
+    return _triangle_rounds(rd.from_pandas(edges), u, v, n_buckets)
+
+
+def _triangle_rounds(
+    edges: Dataset, u: str, v: str, n_buckets: int | None
+) -> Dataset:
+    """Distributed triangle-count core (see :func:`triangles`)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .windows import bucketed_map_groups
+
+    def clean(b: pd.DataFrame, uu: str = u, vv: str = v) -> pd.DataFrame:
+        a_ = b[uu].to_numpy(np.int64)
+        b_ = b[vv].to_numpy(np.int64)
+        lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+        keep = lo != hi
+        return pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+
+    und = (
+        edges.map_batches(clean, batch_format="pandas")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .materialize()
+    )
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, und.count() // 250_000 + 1)))
+    deg = (
+        und.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": np.r_[b["lo"].to_numpy(np.int64), b["hi"].to_numpy(np.int64)]}
+            ),
+            batch_format="pandas",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="dg"))
+    ).materialize()
+    deg_lo = deg.map_batches(
+        lambda b: pd.DataFrame({"lo": b["node"], "deg_lo": b["dg"]}),
+        batch_format="pandas",
+    )
+    deg_hi = deg.map_batches(
+        lambda b: pd.DataFrame({"hi": b["node"], "deg_hi": b["dg"]}),
+        batch_format="pandas",
+    )
+    e1 = jn.bucketed_hash_join(und, deg_lo, on="lo", n_buckets=n_buckets)
+    e2 = jn.bucketed_hash_join(e1, deg_hi, on="hi", n_buckets=n_buckets)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        lo = b["lo"].to_numpy(np.int64)
+        hi = b["hi"].to_numpy(np.int64)
+        dl = b["deg_lo"].to_numpy(np.int64)
+        dh = b["deg_hi"].to_numpy(np.int64)
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        ddeg = np.where(lo_first, dh, dl)
+        if len(src) and (src.max() >= 2**31 or dst.max() >= 2**31):
+            raise ValueError("triangle packing needs node ids < 2**31")
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": dst,
+                "ddeg": ddeg,
+                "pk": src * np.int64(2**32) + dst,
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64"),
+                "pk": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        d = df.sort_values(["src", "ddeg", "dst"], kind="stable")
+        src = d["src"].to_numpy(np.int64)
+        dst = d["dst"].to_numpy(np.int64)
+        n = len(d)
+        seg_start_mask = np.r_[True, src[1:] != src[:-1]]
+        seg_id = np.cumsum(seg_start_mask) - 1
+        seg_start = np.flatnonzero(seg_start_mask)
+        pos = np.arange(n) - seg_start[seg_id]
+        cnt = pos  # row r (as wedge corner c) pairs with every earlier row
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        c_idx = np.repeat(np.arange(n), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        b_idx = np.repeat(np.arange(n) - pos, cnt) + offs
+        wb, wc = dst[b_idx], dst[c_idx]  # rank(b) < rank(c) by sort order
+        return pd.DataFrame(
+            {
+                "a": src[c_idx],
+                "b": wb,
+                "c": wc,
+                "pk": wb * np.int64(2**32) + wc,
+            }
+        )
+
+    wedge_ds = bucketed_map_groups(oriented, "src", wedges, n_buckets=n_buckets)
+    probe = oriented.map_batches(
+        lambda b: pd.DataFrame({"pk": b["pk"]}), batch_format="pandas"
+    )
+    closed = jn.bucketed_hash_join(wedge_ds, probe, on="pk", n_buckets=n_buckets)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [
+                b["a"].to_numpy(np.int64),
+                b["b"].to_numpy(np.int64),
+                b["c"].to_numpy(np.int64),
+            ]
+        )
+        un, cn = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": un, "n": cn.astype(np.int64)})
+
+    return (
+        closed.map_batches(count_partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="n_triangles"))
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "n_triangles": b["n_triangles"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def bfs(
+    edges: pd.DataFrame | Dataset,
+    seed: int,
+    max_level: int = 4,
+    u: str = "id_a",
+    v: str = "id_b",
+    edge_threshold: int = _LOCAL_PR_EDGES,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Size-dispatched bounded BFS; returns a Dataset ``(doc_id, level)``
+    equal to :func:`bfs_levels` (equivalence-tested at threshold 0).
+
+    Distributed path: the standard frontier-join iteration — per level, ONE
+    bucketed hash join (edges x frontier) gathers the neighbor set, one
+    groupby dedups it, and one anti-join against the visited set keeps the
+    unseen nodes, which become the next frontier. State is node-sized
+    Datasets; only the per-round frontier COUNT reaches the driver."""
+    if isinstance(edges, Dataset):
+        if edges.count() < edge_threshold:
+            df = edges.to_pandas()
+            return rd.from_pandas(
+                bfs_levels(
+                    df[u].to_numpy(np.int64), df[v].to_numpy(np.int64), seed, max_level
+                )
+            )
+        return _bfs_rounds(edges, u, v, seed, max_level, n_buckets)
+    if len(edges) < edge_threshold:
+        return rd.from_pandas(
+            bfs_levels(
+                edges[u].to_numpy(np.int64), edges[v].to_numpy(np.int64), seed, max_level
+            )
+        )
+    return _bfs_rounds(rd.from_pandas(edges), u, v, seed, max_level, n_buckets)
+
+
+def _bfs_rounds(
+    edges: Dataset, u: str, v: str, seed: int, max_level: int, n_buckets: int | None
+) -> Dataset:
+    """Distributed BFS core (see :func:`bfs`)."""
+    from ray.data.aggregate import Count
+
+    def sym(b: pd.DataFrame, uu: str = u, vv: str = v) -> pd.DataFrame:
+        a_ = b[uu].to_numpy(np.int64)
+        b_ = b[vv].to_numpy(np.int64)
+        keep = a_ != b_
+        a_, b_ = a_[keep], b_[keep]
+        return pd.DataFrame({"src": np.r_[a_, b_], "dst": np.r_[b_, a_]})
+
+    dir_edges = (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .materialize()
+    )
+    if n_buckets is None:
+        n_buckets = int(min(4096, max(16, dir_edges.count() // 250_000 + 1)))
+    visited = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([seed], dtype=np.int64),
+                "level": np.array([0], dtype=np.int64),
+            }
+        )
+    ).materialize()
+    frontier = visited
+    for lvl in range(1, max_level + 1):
+        f = frontier.map_batches(
+            lambda b: pd.DataFrame({"src": b["doc_id"]}), batch_format="pandas"
+        )
+        neigh = (
+            jn.bucketed_hash_join(dir_edges, f, on="src", n_buckets=n_buckets)
+            .map_batches(
+                lambda b: pd.DataFrame({"doc_id": b["dst"].astype("int64")}),
+                batch_format="pandas",
+            )
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="__c"))
+            .drop_columns(["__c"])
+        )
+        new = jn.anti_join(neigh, visited.select_columns(["doc_id"]), on="doc_id")
+        new = new.map_batches(
+            lambda b, L=lvl: pd.DataFrame(
+                {"doc_id": b["doc_id"].astype("int64"), "level": np.int64(L)}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

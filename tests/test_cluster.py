@@ -330,3 +330,80 @@ def test_hits_local_matches_bruteforce():
     assert got.reset_index(drop=True).equals(exp)
     e0 = cl.hits_local(np.array([5]), np.array([5]), iters=2)
     assert list(e0.columns) == ["node", "hub_ppm", "auth_ppm"] and not len(e0)
+
+
+def test_hits_distributed_equals_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame(
+        {
+            # duplicates, self-loops, and a sink-only node — both paths must
+            # canonicalize identically
+            "id_a": np.r_[rng.integers(0, 80, 600), 99, 7].astype(np.int64),
+            "id_b": np.r_[rng.integers(0, 80, 600), 99, 99].astype(np.int64),
+        }
+    )
+    loc = (
+        cl.hits(edges, iters=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        cl.hits(edges, iters=2, edge_threshold=0, n_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.astype("int64").equals(dist.astype("int64"))
+    assert len(loc) > 0
+
+
+def test_triangles_distributed_equals_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(29)
+    edges = pd.DataFrame(
+        {
+            "id_a": rng.integers(0, 60, 800).astype(np.int64),
+            "id_b": rng.integers(0, 60, 800).astype(np.int64),
+        }
+    )
+    loc = (
+        cl.triangles(edges)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        cl.triangles(edges, edge_threshold=0, n_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.astype("int64").equals(dist.astype("int64"))
+    assert loc["n_triangles"].sum() > 0  # the random graph has triangles
+
+
+def test_bfs_distributed_equals_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    from teleharvest_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(31)
+    # two components: seeds component reachable in <=4 hops, other untouched
+    chain = pd.DataFrame(
+        {
+            "id_a": np.r_[np.arange(0, 12), rng.integers(0, 12, 100), [500, 501]],
+            "id_b": np.r_[np.arange(1, 13), rng.integers(0, 12, 100), [501, 502]],
+        }
+    ).astype(np.int64)
+    loc = (
+        cl.bfs(chain, seed=0, max_level=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        cl.bfs(chain, seed=0, max_level=4, edge_threshold=0, n_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert loc.astype("int64").equals(dist.astype("int64"))
+    assert int(loc.loc[loc.doc_id == 0, "level"].iloc[0]) == 0
+    assert loc["level"].max() <= 4
+    assert not (loc["doc_id"] >= 500).any()  # other component untouched
